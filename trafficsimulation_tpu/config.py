@@ -1,0 +1,384 @@
+"""Frozen configuration for the TPU-native Structured Urban Grid World.
+
+Mirrors the public parameter API of the reference simulator
+(`/root/reference/Simulation/config.py:4-449`): every tunable keeps its
+reference name and default value so that a user of the reference can move
+their configuration over unchanged.  The containers (road thickness, zone
+chances, time zones) are stored as tuples so the whole config is hashable
+and can be captured as a `jax.jit` static argument.
+
+TPU-specific additions live at the bottom (fixed capacities for the
+struct-of-arrays pools; XLA requires static shapes).  They are *derived*
+from the reference parameters by :meth:`Config.capacities` unless
+overridden explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+# --------------------------------------------------------------------------
+# Immutable helper records
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TimeZone:
+    """One 3-hour demand zone (reference `config.py:155-236`)."""
+    start_hour: int
+    end_hour: int
+    through_distribution: float
+    # ((origin_abbr, dest_abbr, fraction), ...)
+    internal_distribution: Tuple[Tuple[str, str, float], ...]
+
+
+@dataclass(frozen=True)
+class Capacities:
+    """Static SoA capacities (TPU-specific; XLA needs fixed shapes)."""
+    max_bands: int            # per axis road bands
+    max_lights: int           # TrafficLight cells
+    max_groups: int           # intersection light groups
+    max_blocks: int           # city blocks
+    max_vehicles: int         # vehicle pool
+    max_trips: int            # pre-generated trips per day
+    max_dests: int            # routing destinations (entrances + exits)
+    lane_coords_per_group: int  # padded in/out lane coords per group+axis
+    stop_cells_per_light: int   # light cell + controlled road cells
+    max_exits: int            # highway exits
+    max_entrances_hw: int     # highway entrances
+    max_spawns_per_tick: int
+    max_rain: int             # simultaneous rain clouds
+    path_lookahead: int       # cells of route unrolled for obstacle scan
+
+
+DEFAULT_TIME_ZONES: Tuple[TimeZone, ...] = (
+    TimeZone(6, 9, 0.15, (("Res", "Off", 0.05), ("Res", "Mar", 0.05),
+                          ("Res", "Lei", 0.02), ("Res", "Oth", 0.03))),
+    TimeZone(9, 12, 0.20, (("Res", "Mar", 0.10), ("Res", "Oth", 0.04),
+                           ("Off", "Oth", 0.06))),
+    TimeZone(12, 15, 0.15, (("Res", "Mar", 0.07), ("Res", "Oth", 0.03),
+                            ("Off", "Oth", 0.05))),
+    TimeZone(15, 18, 0.15, (("Res", "Mar", 0.03), ("Off", "Oth", 0.05),
+                            ("Mar", "Oth", 0.05), ("Lei", "Oth", 0.02))),
+    TimeZone(18, 21, 0.12, (("Res", "Oth", 0.02), ("Res", "Lei", 0.02),
+                            ("Off", "Lei", 0.02), ("Mar", "Lei", 0.02),
+                            ("Oth", "Lei", 0.02), ("Mar", "Oth", 0.01),
+                            ("Lei", "Oth", 0.01))),
+    TimeZone(21, 24, 0.10, (("Off", "Res", 0.03), ("Mar", "Res", 0.03),
+                            ("Lei", "Res", 0.02), ("Oth", "Res", 0.02))),
+    TimeZone(0, 3, 0.08, (("Off", "Res", 0.02), ("Lei", "Res", 0.04),
+                          ("Oth", "Res", 0.01), ("Res", "Lei", 0.01))),
+    TimeZone(3, 6, 0.05, (("Res", "Mar", 0.02), ("Res", "Lei", 0.02),
+                          ("Res", "Oth", 0.01))),
+)
+
+ABBR = {"Res": "Residential", "Off": "Office", "Mar": "Market",
+        "Lei": "Leisure", "Oth": "Other"}
+
+
+@dataclass(frozen=True)
+class Config:
+    """All simulator tunables.  Reference: `Simulation/config.py:4-449`."""
+
+    # grid -----------------------------------------------------------------
+    WIDTH: int = 200
+    HEIGHT: int = 200
+    # frame
+    WALL_THICKNESS: int = 15
+    SIDEWALK_RING_WIDTH: int = 2
+
+    # road network -----------------------------------------------------------
+    RING_ROAD_TYPE: str = "R2"
+    HIGHWAY_OFFSET: int = 7
+
+    R1_CHANCE_MEAN: float = 0.15
+    R1_CHANCE_STD: float = 0.03
+    R2_CHANCE_MEAN: float = 0.70
+    R2_CHANCE_STD: float = 0.05
+    MIN_R1_BANDS: int = 2
+
+    # blocks -----------------------------------------------------------------
+    BLOCK_ENTRANCE_ROAD_LEVEL: int = 0
+    BLOCK_ENTRANCE_AVOID_TRAFFIC_LIGHTS: bool = True
+    MIN_BLOCK_SPACING: int = 6
+    MAX_BLOCK_SPACING: int = 18
+
+    # sub-blocks ---------------------------------------------------------------
+    SUBBLOCK_CHANGE: float = 0.3
+    CARVE_SUBBLOCK_ROADS: bool = False
+    MIN_SUBBLOCK_SPACING: int = 5
+    SUBBLOCK_ROADS_HAVE_INTERSECTIONS: bool = True
+    SUBBLOCK_ROAD_TYPE: str = "R3"
+
+    # control ------------------------------------------------------------------
+    OPTIMISED_INTERSECTIONS: bool = True
+    TRAFFIC_LIGHT_RANGE: int = 10
+    FORWARD_TRAFFIC_LIGHT_RANGE: bool = False
+    FORWARD_TRAFFIC_LIGHT_INTERSECTIONS: str = "Skip"
+
+    # road thickness (R1, R2, R3) — reference `ROAD_THICKNESS` dict
+    ROAD_THICKNESS_R1: int = 4
+    ROAD_THICKNESS_R2: int = 2
+    ROAD_THICKNESS_R3: int = 1
+
+    # zoning chances — reference `CITY_BLOCK_CHANCE`
+    CITY_BLOCK_CHANCE: Tuple[Tuple[str, float], ...] = (
+        ("Residential", 0.25), ("Office", 0.25), ("Market", 0.2),
+        ("Leisure", 0.2), ("Other", 0.1), ("Empty", 0.0))
+
+    # city flow ------------------------------------------------------------
+    TIME_ZONES: Tuple[TimeZone, ...] = DEFAULT_TIME_ZONES
+    TIME_PER_STEP_IN_SECONDS: int = 6
+    SIMULATION_STARTING_TIME_OF_DAY_HOURS: int = 6
+    SIMULATION_STARTING_TIME_OF_DAY_MINUTES: int = 0
+
+    INTERNAL_POPULATION_TRAFFIC_PER_DAY: int = 10000
+    PASSING_POPULATION_TRAFFIC_PER_DAY: int = 2400
+    TOTAL_SERVICE_VEHICLES_FOOD: int = 50
+    TOTAL_SERVICE_VEHICLES_WASTE: int = 50
+    INDIVIDUAL_SERVICE_VEHICLE_COOLDOWN: int = 3600
+
+    # city resources ---------------------------------------------------------
+    FOOD_CAPACITY_PER_CELL: float = 2.0
+    FOOD_CONSUMPTION_TICKS: int = 50
+    WASTE_CAPACITY_PER_CELL: float = 1.5
+    WASTE_PRODUCTION_TICKS: int = 100
+    CITY_BLOCK_THAT_NEED_FOOD: Tuple[str, ...] = ("Market", "Leisure")
+    CITY_BLOCK_THAT_PRODUCE_WASTE: Tuple[str, ...] = (
+        "Residential", "Office", "Market", "Leisure", "Other")
+    GRADUAL_CITY_BLOCK_RESOURCES: bool = True
+
+    # weather ----------------------------------------------------------------
+    RAIN_ENABLED: bool = True
+    RAIN_SPEED_REDUCTION: int = 2
+    RAIN_RADIUS_MIN: int = 50
+    RAIN_RADIUS_MAX: int = 100
+    RAIN_SPEED_MIN: int = 1
+    RAIN_SPEED_MAX: int = 10
+    RAIN_OCCURRENCES_MAX: int = 3
+    RAIN_COOLDOWN: int = 86400
+    RAIN_SPAWN_CHANCE: float = 0.1
+    RAIN_SPAWN_OFFSET: int = 10
+
+    # vehicles -----------------------------------------------------------------
+    VEHICLE_MIN_SPEED: int = 1
+    VEHICLE_MAX_SPEED: int = 5
+
+    VEHICLE_RESPECT_AWARENESS: bool = False
+    VEHICLE_AWARENESS_RANGE: int = 10
+    VEHICLE_AWARENESS_WIDTH: int = 3
+
+    VEHICLE_ROAD_TYPES_PENALTIES_ENABLED: bool = True
+    VEHICLE_ROAD_TYPES_PENALTY_R1: float = 0.5
+    VEHICLE_ROAD_TYPES_PENALTY_R2: float = 5.0
+    VEHICLE_ROAD_TYPES_PENALTY_R3: float = 50.0
+
+    VEHICLE_TURN_PENALTY_ENABLED: bool = True
+    VEHICLE_TURN_PENALTY: float = 10.0
+
+    VEHICLE_DYNAMIC_PENALTIES_ENABLED: bool = True
+    VEHICLE_DYNAMIC_PENALTY_SCALE: float = 4.0
+
+    VEHICLE_OBSTACLE_PENALTY_VEHICLE: float = 1_000.0
+    VEHICLE_OBSTACLE_PENALTY_STOP: float = 500.0
+
+    VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE: bool = True
+    VEHICLE_CONTRAFLOW_PENALTY: float = 5_000.0
+    VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS: int = 6
+    VEHICLE_CONTRAFLOW_OVERTAKE_DURATION: int = 30
+
+    VEHICLE_STUCK_RECOMPUTE_THRESHOLD: int = 30
+    VEHICLE_STUCK_RECOMPUTE_THRESHOLD_INTERSECTION: int = 1
+
+    VEHICLE_STUCK_CONTRAFLOW_ENABLED: bool = True
+    VEHICLE_STUCK_CONTRAFLOW_THRESHOLD: int = 60
+    VEHICLE_STUCK_CONTRAFLOW_THRESHOLD_INTERSECTION: int = 10
+    VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS: int = 20
+    VEHICLE_CONTRAFLOW_STUCK_DETOUR_DURATION: int = 10
+
+    VEHICLE_STUCK_DESPAWN_ENABLED: bool = False
+    VEHICLE_STUCK_DESPAWN_THRESHOLD: int = 3600
+    VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION: int = 20
+
+    # NOTE: the reference rolls malfunction with an inverted probability
+    # check (`vehicle_base.py:609` fires with p≈1-1e-7).  We implement the
+    # *intended* semantics: a malfunction occurs with probability
+    # VEHICLE_MALFUNCTION_CHANCE per tick.
+    VEHICLE_MALFUNCTION_ACTIVE: bool = True
+    VEHICLE_MALFUNCTION_CHANCE: float = 1e-7
+    VEHICLE_MALFUNCTION_DURATION: int = 400
+
+    VEHICLE_SIDESWIPE_COLLISION_ACTIVE: bool = True
+    VEHICLE_SIDESWIPE_COLLISION_CHANCE: float = 1e-9
+    VEHICLE_SIDESWIPE_COLLISION_DURATION: int = 600
+
+    # service vehicles ----------------------------------------------------------
+    SERVICE_VEHICLE_MAX_LOAD_FOOD: float = 50.0
+    SERVICE_VEHICLE_MAX_LOAD_WASTE: float = 250.0
+    SERVICE_VEHICLE_LOAD_TIME: int = 20
+
+    # traffic lights ------------------------------------------------------------
+    TRAFFIC_LIGHT_TRANSITION_DURATION_ENABLED: bool = False
+    TRAFFIC_LIGHT_TRANSITION_CLEARANCE_ENABLED: bool = True
+
+    TRAFFIC_LIGHT_AGENT_ALGORITHM: str = "QUEUE_ACTUATED"
+    # "DISABLED", "FIXED_TIME", "QUEUE_ACTUATED",
+    # "PRESSURE_CONTROL", "NEIGHBOR_PRESSURE_CONTROL", "NEIGHBOR_GREEN_WAVE",
+    # "NEIGHBOR_RL", "NEIGHBOR_RL_BATCHED", "RL_A2C_BATCHED",
+    # "GAT_DQN", "GAT_DQN_BATCHED"
+
+    TRAFFIC_LIGHT_ALL_RED_DURATION: int = 2
+    TRAFFIC_LIGHT_CLEARANCE_MAX_DURATION: int = 5
+    TRAFFIC_LIGHT_GREEN_DURATION: int = 20
+    TRAFFIC_LIGHT_QUEUE_ACTUATED_MIN_GREEN: int = 5
+    TRAFFIC_LIGHT_QUEUE_ACTUATED_MAX_GREEN: int = 30
+    TRAFFIC_LIGHT_QUEUE_ACTUATED_GAP: int = 3
+    TRAFFIC_LIGHT_PRESSURE_CONTROL_MIN_GREEN: int = 5
+
+    # simple RL (REINFORCE-style) — reference `rl_simple.py`
+    SRL_INPUT_DIMENSIONS: int = 13      # 7, 11, 13, 17, 19
+    SRL_PUNISH_STUCK: bool = False
+    SRL_PUNISH_STUCK_FACTOR: float = 5.0
+    SRL_PUNISH_NEIGHBOR: bool = True
+    SRL_PUNISH_NEIGHBOR_FACTOR: float = 0.25
+    SRL_HIDDEN_LAYERS: int = 10
+    SRL_HIDDEN_LAYER_SIZE: int = 128
+    SRL_LEARNING_RATE: float = 0.005
+    SRL_UPDATE_EVERY: int = 32
+    SRL_BATCH_SIZE: int = 64
+    SRL_DROPOUT: float = 0.01
+    SRL_MIN_GREEN: int = 5
+
+    # A2C — reference `rl_a2c.py`
+    A2C_HIDDEN_LAYERS: int = 10
+    A2C_HIDDEN_LAYER_SIZE: int = 256
+    A2C_TRAFFIC_RL_MAX_GREEN: int = 30
+    A2C_GAMMA: float = 0.80
+    A2C_LAMBDA: float = 0.75
+    A2C_UPDATE_EVERY: int = 32
+    A2C_BATCH_SIZE: int = 256
+    A2C_ENTROPY_MAX: float = 0.01
+    A2C_ENTROPY_MIN: float = 0.001
+    A2C_ENTROPY_DECAY_STEPS: int = 64
+
+    # GAT-DQN — reference `rl_gatdqn.py`
+    GAT_GAMMA: float = 0.99
+    GAT_BATCH_SIZE: int = 64
+    GAT_MEMORY_CAPACITY: int = 10000
+    GAT_TARGET_UPDATE_EVERY: int = 32
+    EPS_INITIAL: float = 1.0
+    EPS_MIN: float = 0.1
+    EPS_DECAY_RATE: float = 1e-5
+    GAT_TRAFFIC_RL_MIN_GREEN: int = 5
+
+    # pathfinding ---------------------------------------------------------------
+    PATHFINDING_METHOD: str = "FIELD"   # "FIELD" (on-device), "CPP" (host A*)
+    PATHFINDING_COOLDOWN: int = 5
+    PATHFINDING_CACHE: bool = True
+    PATHFINDING_BATCHING: bool = True
+    # TPU addition: dynamic-cost field refresh cadence (ticks)
+    FIELD_REFRESH_INTERVAL: int = 16
+    # TPU addition: number of destinations with precomputed cost fields.
+    # Destinations are compacted valid-first; only the first
+    # MAX_FIELD_DESTS get fields ([D,4,H,W] f32 — the memory knob).
+    MAX_FIELD_DESTS: int = 384
+
+    # traffic
+    ENABLE_TRAFFIC: bool = True
+
+    # pedestrians (extension: reference lists them as future work,
+    # `readme.md:118-124`; BASELINE config #3 requires them)
+    PEDESTRIANS_ENABLED: bool = False
+    PEDESTRIANS_PER_DAY: int = 20000
+    PEDESTRIAN_MAX: int = 0            # 0 → derived in capacities()
+    PEDESTRIAN_SPEED: int = 1
+    PEDESTRIAN_CROSS_CHANCE: float = 0.02
+
+    # recording -----------------------------------------------------------------
+    SAVE_TOTAL_RESULTS: bool = True
+    RESULTS_TOTAL_INTERVAL_UNIT: str = "minutes"
+    RESULTS_TOTAL_INTERVAL_VALUE: int = 30
+    SAVE_INDIVIDUAL_RESULTS: bool = True
+    RESULTS_INDIVIDUAL_INTERVAL_UNIT: str = "minutes"
+    RESULTS_INDIVIDUAL_INTERVAL_VALUE: int = 60
+
+    # statistics
+    SHOW_TIME_STATISTICS: bool = True
+    SHOW_TRAFFIC_STATISTICS: bool = True
+    SHOW_METRICS_STATISTICS: bool = True
+    STATISTICS_UPDATE_INTERVAL: int = 20
+
+    # misc / debug
+    ENABLE_AGENT_PORTRAYAL: bool = True
+    AGENT_PORTRAYAL_LEVEL: int = 2
+
+    # TPU capacity overrides (0 → derive from grid size)
+    MAX_VEHICLES: int = 0
+    MAX_TRIPS: int = 0
+
+    # ------------------------------------------------------------------
+    # Derived helpers (plain python — static under jit)
+    # ------------------------------------------------------------------
+
+    def road_thickness(self, rtype: str) -> int:
+        return {"R1": self.ROAD_THICKNESS_R1, "R2": self.ROAD_THICKNESS_R2,
+                "R3": self.ROAD_THICKNESS_R3}[rtype]
+
+    @property
+    def interior_x_min(self) -> int:
+        return self.WALL_THICKNESS + self.SIDEWALK_RING_WIDTH
+
+    @property
+    def interior_x_max(self) -> int:
+        return self.WIDTH - self.WALL_THICKNESS - self.SIDEWALK_RING_WIDTH - 1
+
+    @property
+    def interior_y_min(self) -> int:
+        return self.WALL_THICKNESS + self.SIDEWALK_RING_WIDTH
+
+    @property
+    def interior_y_max(self) -> int:
+        return self.HEIGHT - self.WALL_THICKNESS - self.SIDEWALK_RING_WIDTH - 1
+
+    def capacities(self) -> Capacities:
+        """Static capacities for the SoA pools, derived from the grid size."""
+        interior = min(self.interior_x_max - self.interior_x_min + 1,
+                       self.interior_y_max - self.interior_y_min + 1)
+        # worst case: thickness-1 bands every (1 + MIN_BLOCK_SPACING) cells,
+        # plus forced ring bands and up to 20 forced-highway attempts.
+        max_bands = max(4, interior // (1 + self.MIN_BLOCK_SPACING) + 24)
+        max_groups = max(16, (max_bands * max_bands) // 2)
+        max_lights = 4 * max_groups
+        max_blocks = max(16, (max_bands + 2) * (max_bands + 2))
+        service = self.TOTAL_SERVICE_VEHICLES_FOOD + self.TOTAL_SERVICE_VEHICLES_WASTE
+        max_vehicles = self.MAX_VEHICLES or 4096
+        max_trips = self.MAX_TRIPS or (
+            self.INTERNAL_POPULATION_TRAFFIC_PER_DAY
+            + self.PASSING_POPULATION_TRAFFIC_PER_DAY + service + 64)
+        max_exits = 4 * self.MIN_R1_BANDS * self.ROAD_THICKNESS_R1 + 32
+        return Capacities(
+            max_bands=max_bands,
+            max_lights=max_lights,
+            max_groups=max_groups,
+            max_blocks=max_blocks,
+            max_vehicles=max_vehicles,
+            max_trips=max_trips,
+            max_dests=max_blocks + max_exits,
+            lane_coords_per_group=8 * (self.TRAFFIC_LIGHT_RANGE + 1),
+            stop_cells_per_light=8,
+            max_exits=max_exits,
+            max_entrances_hw=max_exits,
+            max_spawns_per_tick=64,
+            max_rain=self.RAIN_OCCURRENCES_MAX,
+            path_lookahead=self.VEHICLE_AWARENESS_RANGE,
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference-compatible alias: the reference exposes `Defaults` as the class
+# of constants; we expose a default instance under the same name.
+Defaults = Config()

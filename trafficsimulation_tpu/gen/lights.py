@@ -1,0 +1,283 @@
+"""Traffic-light placement, intersection light groups, and queue labels.
+
+Array re-expression of reference stages 10-11:
+`_add_traffic_lights` / `_assign_traffic_light` / `_scan_for_traffic_flow*`
+(`city_model.py:1422-1584`) and `_create_intersection_light_groups`
+(`city_model.py:1587-1650`) + `IntersectionLightGroup.
+initialize_cached_lane_coords` / `populate_links`
+(`intersection_light_group.py:118-279`).
+
+Instead of per-light ragged coordinate lists, every lane cell carries
+(queue_group, queue_bucket) labels; per-tick queues/pressures become one
+segment-sum over the grid (replacing the njit reducers
+`numba_utilities.py:65-152`).
+
+Parity notes:
+* the backward ray scan uses "cell flows toward the controlled road"
+  (direction bit along the ray) instead of the reference's global-BFS
+  `leads_to` (`cell.py:201-227`), which is almost always true on the
+  connected road graph; the dir-bit test is the lane-local meaning.
+* neighbor-group discovery walks a straight ray from the group bbox
+  center instead of replicating `blocks_all_lanes`
+  (`intersection_light_group.py:185-202`); intermediate groups are not
+  tracked yet.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import codes as C
+from ..config import Config, Capacities
+from ..ops.labels import connected_components, compact_labels
+from .raster import _shift_from
+from .zoning import _seg_min, _seg_max, _seg_sum
+
+# queue bucket codes
+NS_IN, NS_OUT, EW_IN, EW_OUT = 0, 1, 2, 3
+
+
+def _flat(y, x, W):
+    return y * W + x
+
+
+def build_lights_and_groups(cfg: Config, caps: Capacities,
+                            cell: jnp.ndarray, allowed: jnp.ndarray):
+    H, W = cell.shape
+    HW = H * W
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None] * jnp.ones((1, W), jnp.int32)
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :] * jnp.ones((H, 1), jnp.int32)
+
+    # ---- 1. controlled roads (`city_model.py:1422-1499`) -----------------
+    convertible = jnp.isin(
+        cell, jnp.array(C.ROAD_LIKE_NO_INTERSECTION, dtype=jnp.uint8))
+    inter = cell == C.INTERSECTION
+    points_in = jnp.zeros((H, W), bool)
+    for d in range(4):
+        points_in = points_in | (((allowed & jnp.uint8(C.DIR_BITS[d])) != 0)
+                                 & _shift_from(inter, d))
+    controlled = convertible & points_in
+    orig_type = cell
+    cell = jnp.where(controlled, jnp.uint8(C.CONTROLLED_ROAD), cell)
+
+    # ---- 2. light placement per (cell, dir) -------------------------------
+    # per direction d: candidate at p1 = c + vec(right(d)); escalation to
+    # p2 = c + 2*vec(right(d)) when p1 is a same-flow road lane.
+    assign_valid = []
+    assign_target = []
+    light_mask = jnp.zeros((H, W), bool)
+    for d in range(4):
+        rd = (d + 1) % 4               # DIRECTION_TO_THE_RIGHT
+        ord_ = (rd + 2) % 4            # opposite of rd
+        has_d = controlled & ((allowed & jnp.uint8(C.DIR_BITS[d])) != 0)
+        p1_type = _shift_from(cell, rd)
+        p1_allowed = _shift_from(allowed, rd)
+        p1_orig = _shift_from(orig_type, rd)
+        p1_sw = p1_type == C.SIDEWALK
+        p1_lane = ((p1_type == C.CONTROLLED_ROAD) | (p1_orig == orig_type)) \
+            & ((p1_allowed & allowed) != 0)
+        p2_type = _shift_from(_shift_from(cell, rd), rd)
+        p2_sw = p2_type == C.SIDEWALK
+        t1 = has_d & p1_sw
+        t2 = has_d & ~p1_sw & p1_lane & p2_sw
+        # scatter light cells: target receives from its neighbor at ord_
+        light_mask = light_mask | _shift_from(t1, ord_)
+        light_mask = light_mask | _shift_from(_shift_from(t2, ord_), ord_)
+        # record the assignment (road -> target flat index)
+        ty1 = ys + C.DIR_DY[rd]
+        tx1 = xs + C.DIR_DX[rd]
+        ty2 = ys + 2 * C.DIR_DY[rd]
+        tx2 = xs + 2 * C.DIR_DX[rd]
+        tgt = jnp.where(t1, _flat(ty1, tx1, W),
+                        jnp.where(t2, _flat(ty2, tx2, W), -1))
+        assign_valid.append(t1 | t2)
+        assign_target.append(tgt)
+
+    av = jnp.stack(assign_valid).reshape(-1)          # [4*HW]
+    at = jnp.stack(assign_target).reshape(-1)
+    aroad = jnp.tile(jnp.arange(HW, dtype=jnp.int32), 4)
+
+    A = caps.max_lights * 8
+    aidx = jnp.nonzero(av, size=A, fill_value=-1)[0]
+    a_ok = aidx >= 0
+    a_road = jnp.where(a_ok, aroad[jnp.clip(aidx, 0, 4 * HW - 1)], -1)
+    a_tgt = jnp.where(a_ok, at[jnp.clip(aidx, 0, 4 * HW - 1)], -1)
+
+    # ---- 3. light table ----------------------------------------------------
+    L = caps.max_lights
+    lpos = jnp.nonzero(light_mask.reshape(-1), size=L, fill_value=-1)[0]
+    lpos = lpos.astype(jnp.int32)
+    l_ok = lpos >= 0
+    light_id_plane = jnp.full((HW,), -1, jnp.int32).at[
+        jnp.where(l_ok, lpos, HW - 1)].set(
+        jnp.where(l_ok, jnp.arange(L, dtype=jnp.int32), -1))
+    cell = jnp.where(light_mask, jnp.uint8(C.TRAFFIC_LIGHT), cell)
+    a_light = jnp.where(a_ok, light_id_plane[jnp.clip(a_tgt, 0, HW - 1)], -1)
+
+    # ---- 4. intersection groups (`city_model.py:1587-1650`) ---------------
+    comp = connected_components(inter)
+    group_plane, roots, _ = compact_labels(comp, caps.max_groups)
+    G = caps.max_groups
+    gseg = jnp.where(group_plane.reshape(-1) >= 0,
+                     group_plane.reshape(-1), G)
+    fx = xs.reshape(-1)
+    fy = ys.reshape(-1)
+    gminx = _seg_min(jnp.where(gseg < G, fx, 2**30), gseg, G + 1,
+                     jnp.int32(2**30))[:G]
+    gmaxx = _seg_max(jnp.where(gseg < G, fx, -1), gseg, G + 1,
+                     jnp.int32(-1))[:G]
+    gminy = _seg_min(jnp.where(gseg < G, fy, 2**30), gseg, G + 1,
+                     jnp.int32(2**30))[:G]
+    gmaxy = _seg_max(jnp.where(gseg < G, fy, -1), gseg, G + 1,
+                     jnp.int32(-1))[:G]
+    gcount = _seg_sum(jnp.where(gseg < G, 1, 0).astype(jnp.int32),
+                      gseg, G + 1)[:G]
+    g_valid = roots >= 0
+
+    # light -> group: a light belongs to g iff it sits on one of g's four
+    # diagonal bbox corners.
+    lx = jnp.where(l_ok, lpos % W, 0)
+    ly = jnp.where(l_ok, lpos // W, 0)
+    l_group = jnp.full((L,), -1, jnp.int32)
+    gp2 = group_plane
+    for sy in (-1, 1):
+        for sx in (-1, 1):
+            ny = jnp.clip(ly + sy, 0, H - 1)
+            nx = jnp.clip(lx + sx, 0, W - 1)
+            g = gp2[ny, nx]
+            gs = jnp.clip(g, 0, G - 1)
+            is_corner = (
+                ((lx == gminx[gs] - 1) | (lx == gmaxx[gs] + 1)) &
+                ((ly == gminy[gs] - 1) | (ly == gmaxy[gs] + 1)))
+            hit = l_ok & (g >= 0) & is_corner
+            l_group = jnp.where(hit, g, l_group)
+
+    # groups with no lights are not created in the reference
+    g_has_light = jnp.zeros((G,), bool).at[
+        jnp.where(l_group >= 0, l_group, G - 1)].max(l_group >= 0)
+    g_valid = g_valid & g_has_light
+
+    # ---- 5. light axis (`populate_links` axis_dirs,
+    # `intersection_light_group.py:243-279`) --------------------------------
+    a_g = jnp.where(a_light >= 0, l_group[jnp.clip(a_light, 0, L - 1)], -1)
+    rc_y = jnp.clip(a_road, 0, HW - 1) // W
+    rc_x = jnp.clip(a_road, 0, HW - 1) % W
+    road_dirs = allowed.reshape(-1)[jnp.clip(a_road, 0, HW - 1)]
+    ns_q = jnp.zeros((A,), bool)
+    ew_q = jnp.zeros((A,), bool)
+    for d in range(4):
+        ny = jnp.clip(rc_y + C.DIR_DY[d], 0, H - 1)
+        nx = jnp.clip(rc_x + C.DIR_DX[d], 0, W - 1)
+        nb_g = gp2[ny, nx]
+        qual = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0) & \
+            (nb_g >= 0) & (nb_g == a_g)
+        if d in (C.N_IDX, C.S_IDX):
+            ns_q = ns_q | qual
+        else:
+            ew_q = ew_q | qual
+    al_safe = jnp.where(a_light >= 0, a_light, L - 1)
+    l_ns = jnp.zeros((L,), bool).at[al_safe].max(ns_q & (a_light >= 0))
+    l_ew = jnp.zeros((L,), bool).at[al_safe].max(ew_q & (a_light >= 0))
+    l_axis = jnp.where(l_ns, 0, jnp.where(l_ew, 1, -1))
+    l_axis = jnp.where(l_ok & (l_group >= 0), l_axis, -1)
+
+    # ---- 6. backward ray scan -> queue labels (`_scan_for_traffic_flow_
+    # reverse` `city_model.py:1528-1548`) ------------------------------------
+    R = cfg.TRAFFIC_LIGHT_RANGE + 1
+    queue_group = jnp.full((HW,), -1, jnp.int32)
+    queue_bucket = jnp.full((HW,), -1, jnp.int8)
+    light_of_cell = jnp.full((HW,), -1, jnp.int32)
+    orig_flat = orig_type.reshape(-1)
+    allowed_flat = allowed.reshape(-1)
+    a_orig = orig_flat[jnp.clip(a_road, 0, HW - 1)]
+    a_ly = jnp.where(a_light >= 0, lpos[al_safe] // W, -1)
+    a_lx = jnp.where(a_light >= 0, lpos[al_safe] % W, -1)
+
+    for d in range(4):
+        has_d = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
+        alive = has_d
+        py, px = rc_y, rc_x
+        for _k in range(R):
+            py = py - C.DIR_DY[d]
+            px = px - C.DIR_DX[d]
+            inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
+            cy = jnp.clip(py, 0, H - 1)
+            cx = jnp.clip(px, 0, W - 1)
+            pf = cy * W + cx
+            same_type = orig_type[cy, cx] == a_orig
+            flows = (allowed[cy, cx] & jnp.uint8(C.DIR_BITS[d])) != 0
+            alive = alive & inb & same_type & flows
+            # bucket by the ray cell's own dirs and position vs the light
+            cdirs = allowed[cy, cx]
+            is_ns = (cdirs & jnp.uint8(1 | 4)) != 0
+            is_ew = (cdirs & jnp.uint8(2 | 8)) != 0
+            bucket = jnp.where(
+                is_ns, jnp.where(cy < a_ly, NS_IN, NS_OUT),
+                jnp.where(is_ew, jnp.where(cx < a_lx, EW_IN, EW_OUT), -1))
+            tgt = jnp.where(alive & (bucket >= 0), pf, HW - 1)
+            put = alive & (bucket >= 0)
+            queue_group = queue_group.at[tgt].set(
+                jnp.where(put, a_g, queue_group[tgt]))
+            queue_bucket = queue_bucket.at[tgt].set(
+                jnp.where(put, bucket.astype(jnp.int8), queue_bucket[tgt]))
+            light_of_cell = light_of_cell.at[tgt].set(
+                jnp.where(put, a_light, light_of_cell[tgt]))
+
+    # ---- 7. group scalar features (`intersection_light_group.py:155-171`)
+    pen_tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
+                         cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
+                         cfg.VEHICLE_ROAD_TYPES_PENALTY_R3, 0.0], jnp.float32)
+    # penalty per labeled lane cell by its original road type
+    type_to_rc = jnp.zeros((C.NUM_CELL_TYPES,), jnp.int32)
+    type_to_rc = type_to_rc.at[C.R1].set(1).at[C.R2].set(2).at[C.R3].set(3)
+    lane_rc = type_to_rc[orig_flat]
+    lane_pen = pen_tab[lane_rc]
+    qg = jnp.where(queue_group >= 0, queue_group, G)
+    pen_sum = _seg_sum(jnp.where(queue_group >= 0, lane_pen, 0.0),
+                       qg, G + 1)[:G]
+    pen_cnt = _seg_sum(jnp.where(queue_group >= 0, 1.0, 0.0), qg, G + 1)[:G]
+    penalty_score = jnp.where(pen_cnt > 0, pen_sum / jnp.maximum(pen_cnt, 1),
+                              0.0)
+    intersection_size = gcount.astype(jnp.float32) / 16.0
+
+    # ---- 8. neighbor groups (straight-ray walk from bbox center) ----------
+    ccx = jnp.clip((gminx + gmaxx) // 2, 0, W - 1)
+    ccy = jnp.clip((gminy + gmaxy) // 2, 0, H - 1)
+    neighbor = jnp.full((G, 4), -1, jnp.int32)
+    max_walk = max(H, W)
+    gids = jnp.arange(G, dtype=jnp.int32)
+    for d in range(4):
+        def walk(s, found):
+            py = ccy + (s + 1) * int(C.DIR_DY[d])
+            px = ccx + (s + 1) * int(C.DIR_DX[d])
+            inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
+            g = gp2[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+            hit = inb & (g >= 0) & (g != gids) & (found < 0)
+            return jnp.where(hit, g, found)
+
+        found = jax.lax.fori_loop(0, max_walk, walk,
+                                  jnp.full((G,), -1, jnp.int32))
+        neighbor = neighbor.at[:, d].set(jnp.where(g_valid, found, -1))
+
+    return dict(
+        cell_type=cell,
+        orig_type=orig_type,
+        light_pos=jnp.where(l_ok, lpos, -1),
+        light_valid=l_ok,
+        light_group=jnp.where(l_ok, l_group, -1),
+        light_axis=l_axis,
+        light_id_plane=light_id_plane.reshape(H, W),
+        assign_road=a_road,
+        assign_light=a_light,
+        assign_valid=a_ok & (a_light >= 0),
+        group_plane=group_plane,
+        group_valid=g_valid,
+        group_neighbor=neighbor,
+        group_bbox=jnp.stack([gminx, gmaxx, gminy, gmaxy], axis=1),
+        intersection_size=intersection_size,
+        penalty_score=penalty_score,
+        queue_group=queue_group.reshape(H, W),
+        queue_bucket=queue_bucket.reshape(H, W),
+        light_of_cell=light_of_cell.reshape(H, W),
+    )

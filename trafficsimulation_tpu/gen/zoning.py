@@ -1,0 +1,272 @@
+"""Zoning, dead-end elimination, R2 upgrades and block entrances.
+
+Array re-expression of reference stages 6-9:
+`_flood_fill_blocks_storing_data` (`city_model.py:742-806`),
+`_eliminate_dead_ends` (`city_model.py:811-840`),
+`_upgrade_r2_to_intersections` (`city_model.py:842-879`),
+`_final_place_block_entrances` (`city_model.py:884-963`),
+`_remove_invalid_intersection_directions` (`city_model.py:969-1012`),
+`_add_entrance_directions` (`city_model.py:1035-1070`).
+
+Parity notes (conscious divergences, see README):
+* dead-end elimination runs as a *parallel* fixpoint; the result is the
+  unique 2-core of the road graph, identical to the reference's
+  sequential sweeps.
+* the entrance is placed at the bbox-midpoint of the longest perimeter
+  run (equal to the reference's sorted-run midpoint for straight runs;
+  L-shaped runs, which are rare, may differ by a cell).
+* ties between equally long runs pick the smallest root instead of a
+  `random.choice` (`city_model.py:943`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import codes as C
+from ..config import Config
+from ..ops.labels import (connected_components, connected_components_keyed,
+                          compact_labels)
+from .raster import _shift_from
+
+
+def _seg_min(vals, seg, num, init):
+    return jnp.full((num,), init, vals.dtype).at[seg].min(vals)
+
+
+def _seg_max(vals, seg, num, init):
+    return jnp.full((num,), init, vals.dtype).at[seg].max(vals)
+
+
+def _seg_sum(vals, seg, num):
+    return jnp.zeros((num,), vals.dtype).at[seg].add(vals)
+
+
+def apply_zoning(key, cfg: Config, cell: jnp.ndarray, max_blocks: int):
+    """Flood-fill `Nothing` regions into typed city blocks.
+
+    Returns (cell, block_id_map [H,W] i32, block_type [B] u8,
+    inner_count [B] i32, block_valid [B] bool).
+    """
+    H, W = cell.shape
+    nothing = cell == C.NOTHING
+    labels = connected_components(nothing)
+    ids_map, roots, _ = compact_labels(labels, max_blocks)
+
+    flat_ids = ids_map.reshape(-1)
+    seg = jnp.where(flat_ids >= 0, flat_ids, max_blocks)
+    ys = (jnp.arange(H * W, dtype=jnp.int32) // W)
+    xs = (jnp.arange(H * W, dtype=jnp.int32) % W)
+    nseg = max_blocks + 1
+    minx = _seg_min(xs, seg, nseg, jnp.int32(2**30))[:max_blocks]
+    maxx = _seg_max(xs, seg, nseg, jnp.int32(-1))[:max_blocks]
+    miny = _seg_min(ys, seg, nseg, jnp.int32(2**30))[:max_blocks]
+    maxy = _seg_max(ys, seg, nseg, jnp.int32(-1))[:max_blocks]
+    count = _seg_sum(jnp.ones_like(seg), seg, nseg)[:max_blocks]
+    valid = roots >= 0
+
+    w_bb = maxx - minx + 1
+    h_bb = maxy - miny + 1
+    small = (w_bb < 3) | (h_bb < 3)
+
+    # weighted type draw (reference CITY_BLOCK_CHANCE, `config.py:53-60`)
+    names = [n for n, _ in cfg.CITY_BLOCK_CHANCE]
+    weights = jnp.array([w for _, w in cfg.CITY_BLOCK_CHANCE])
+    codes = jnp.array([C.NAME_TO_TYPE[n] for n in names], dtype=jnp.uint8)
+    cum = jnp.cumsum(weights / jnp.sum(weights))
+    u = jax.random.uniform(key, (max_blocks,))
+    draw = jnp.sum(u[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+    btype = codes[jnp.clip(draw, 0, len(names) - 1)]
+    btype = jnp.where(small, jnp.uint8(C.EMPTY), btype)
+    btype = jnp.where(valid, btype, jnp.uint8(C.NOTHING))
+
+    # paint regions
+    safe_ids = jnp.clip(ids_map, 0, max_blocks - 1)
+    painted = jnp.where(ids_map >= 0, btype[safe_ids], cell)
+    return painted, ids_map, btype, count.astype(jnp.int32), valid
+
+
+def eliminate_dead_ends(cell: jnp.ndarray, allowed: jnp.ndarray):
+    """Parallel fixpoint: removable road cells with <2 road-like
+    neighbors become Sidewalk (`city_model.py:811-840`)."""
+    road_like_codes = jnp.array(C.ROAD_LIKE, dtype=jnp.uint8)
+    removable_codes = jnp.array(C.REMOVABLE_DEAD_END, dtype=jnp.uint8)
+
+    def is_in(x, codes):
+        return jnp.isin(x, codes)
+
+    def cond(carry):
+        return carry[2]
+
+    def body(carry):
+        cl, al, _ = carry
+        roady = is_in(cl, road_like_codes)
+        deg = jnp.zeros(cl.shape, jnp.int32)
+        for d in range(4):
+            deg = deg + _shift_from(roady, d).astype(jnp.int32)
+        dead = is_in(cl, removable_codes) & (deg < 2)
+        new_cl = jnp.where(dead, jnp.uint8(C.SIDEWALK), cl)
+        new_al = jnp.where(dead, jnp.uint8(0), al)
+        return new_cl, new_al, jnp.any(dead)
+
+    cell, allowed, _ = jax.lax.while_loop(
+        cond, body, (cell, allowed, jnp.bool_(True)))
+    return cell, allowed
+
+
+def upgrade_r2_to_intersections(cfg: Config, cell, allowed, horiz_band,
+                                in_ring_corner):
+    """R2 cells flanked by >=2 sidewalks become intersections when a
+    perpendicular sub-block-road-type (R3) neighbor fabricates a dummy
+    crossing band (`city_model.py:842-879` + `_make_intersection`
+    dummy-band path `city_model.py:253-263`)."""
+    sub_code = C.NAME_TO_TYPE[cfg.SUBBLOCK_ROAD_TYPE]
+    sw = cell == C.SIDEWALK
+    sw_count = sum(_shift_from(sw, d).astype(jnp.int32) for d in range(4))
+    is_sub = cell == sub_code
+    # dummy band perpendicular to the R2 cell's own band orientation
+    perp_h = _shift_from(is_sub, C.N_IDX) | _shift_from(is_sub, C.S_IDX)
+    perp_v = _shift_from(is_sub, C.E_IDX) | _shift_from(is_sub, C.W_IDX)
+    has_cross = jnp.where(horiz_band, perp_h, perp_v)
+    upgrade = (cell == C.R2) & (sw_count >= 2) & has_cross
+    if cfg.RING_ROAD_TYPE == "R2":
+        upgrade = upgrade & ~in_ring_corner
+    cell = jnp.where(upgrade, jnp.uint8(C.INTERSECTION), cell)
+    allowed = jnp.where(upgrade, jnp.uint8(15), allowed)
+    return cell, allowed, upgrade
+
+
+def prune_intersection_dirs(cell, allowed):
+    """Keep an intersection arrow only if the neighbor is road-like and
+    either an intersection or accepts the flow
+    (`_remove_invalid_intersection_directions` `city_model.py:969-1012`)."""
+    road_like = jnp.isin(cell, jnp.array(C.ROAD_LIKE, dtype=jnp.uint8))
+    inter = cell == C.INTERSECTION
+    out = allowed
+    for d in range(4):
+        nb_road = _shift_from(road_like, d)
+        nb_inter = _shift_from(inter, d)
+        nb_dirs = _shift_from(allowed, d)
+        ok = nb_road & (nb_inter | ((nb_dirs & jnp.uint8(C.DIR_BITS[d])) != 0))
+        out = jnp.where(inter & ~ok, out & ~jnp.uint8(C.DIR_BITS[d]), out)
+    return out
+
+
+def place_entrances(cfg: Config, cell, allowed, block_ids, btype,
+                    max_blocks: int):
+    """One BlockEntrance per typed block at the midpoint of its longest
+    road-touching perimeter run (`city_model.py:884-963`).
+
+    Returns (cell, allowed, entrance_flat [B] i32)."""
+    H, W = cell.shape
+    HW = H * W
+
+    # ring: non-region cells adjacent to a region; carries one block id
+    ring_block = jnp.full((H, W), -1, dtype=jnp.int32)
+    for d in range(4):
+        nb = _shift_from(jnp.where(block_ids >= 0, block_ids, -1), d)
+        ring_block = jnp.maximum(ring_block, nb)
+    ring_block = jnp.where(block_ids >= 0, -1, ring_block)
+
+    # valid block types only (AVAILABLE_CITY_BLOCKS — Empty excluded)
+    zone_codes = jnp.array(C.ZONE_TYPES, dtype=jnp.uint8)
+    blk_is_zone = jnp.isin(btype, zone_codes)
+    safe_rb = jnp.clip(ring_block, 0, max_blocks - 1)
+    ring_ok = (ring_block >= 0) & blk_is_zone[safe_rb]
+
+    # touches-road predicate (`_touches_road` `city_model.py:1783-1797`)
+    touch_codes = jnp.array([C.R1, C.R2, C.R3, C.INTERSECTION,
+                             C.HIGHWAY_ENTRANCE, C.CONTROLLED_ROAD],
+                            dtype=jnp.uint8)
+    touchy = jnp.isin(cell, touch_codes)
+    touches = jnp.zeros((H, W), bool)
+    for d in range(4):
+        touches = touches | _shift_from(touchy, d)
+
+    cand = ring_ok & touches & (cell == C.SIDEWALK)
+
+    # road-level filter (`city_model.py:897-899, 911-925`)
+    lvl = min(cfg.BLOCK_ENTRANCE_ROAD_LEVEL, 2)
+    if lvl > 0:
+        allowed_types = [C.R1] if lvl == 2 else [C.R1, C.R2]
+        good = jnp.isin(cell, jnp.array(allowed_types, dtype=jnp.uint8))
+        passes = jnp.zeros((H, W), bool)
+        for d in range(4):
+            passes = passes | _shift_from(good, d)
+        seg = jnp.where(cand & passes, safe_rb, max_blocks).reshape(-1)
+        has_pref = _seg_sum(jnp.ones_like(seg), seg, max_blocks + 1)
+        has_pref = has_pref[:max_blocks] > 0
+        cand = cand & (passes | ~has_pref[safe_rb])
+
+    # split candidates into per-block 4-connected runs
+    runs = connected_components_keyed(cand, jnp.where(cand, ring_block, -1))
+    flat_runs = runs.reshape(-1)
+    rseg = jnp.where(flat_runs >= 0, flat_runs, HW)
+    ones = jnp.ones((HW,), jnp.int32)
+    run_len_tab = _seg_sum(jnp.where(flat_runs >= 0, ones, 0), rseg, HW + 1)
+    xs = jnp.arange(HW, dtype=jnp.int32) % W
+    ys = jnp.arange(HW, dtype=jnp.int32) // W
+    run_minx = _seg_min(jnp.where(flat_runs >= 0, xs, 2**30), rseg, HW + 1,
+                        jnp.int32(2**30))
+    run_maxx = _seg_max(jnp.where(flat_runs >= 0, xs, -1), rseg, HW + 1,
+                        jnp.int32(-1))
+    run_miny = _seg_min(jnp.where(flat_runs >= 0, ys, 2**30), rseg, HW + 1,
+                        jnp.int32(2**30))
+    run_maxy = _seg_max(jnp.where(flat_runs >= 0, ys, -1), rseg, HW + 1,
+                        jnp.int32(-1))
+
+    cand_flat = cand.reshape(-1)
+    my_run = jnp.clip(flat_runs, 0, HW)
+    my_len = jnp.where(cand_flat, run_len_tab[my_run], 0)
+    bseg = jnp.where(cand_flat, ring_block.reshape(-1), max_blocks)
+    bseg = jnp.clip(bseg, 0, max_blocks)
+
+    # best run per block: longest, then smallest root
+    best_len = _seg_max(my_len, bseg, max_blocks + 1, jnp.int32(0))
+    is_best_len = cand_flat & (my_len == best_len[bseg]) & (my_len > 0)
+    best_root = _seg_min(jnp.where(is_best_len, flat_runs, 2**30), bseg,
+                         max_blocks + 1, jnp.int32(2**30))
+    in_best = cand_flat & (flat_runs == best_root[bseg]) & \
+              (best_root[bseg] < 2**30)
+
+    # midpoint target of the best run (sorted-run midpoint for straight runs)
+    tx = run_minx[my_run] + (run_maxx[my_run] - run_minx[my_run] + 1) // 2
+    ty = run_miny[my_run] + (run_maxy[my_run] - run_miny[my_run] + 1) // 2
+    dist = jnp.abs(xs - tx) + jnp.abs(ys - ty)
+    big = jnp.int32(2**30)
+    min_dist = _seg_min(jnp.where(in_best, dist, big), bseg,
+                        max_blocks + 1, big)
+    at_min = in_best & (dist == min_dist[bseg])
+    entrance_flat = _seg_min(
+        jnp.where(at_min, jnp.arange(HW, dtype=jnp.int32), big), bseg,
+        max_blocks + 1, big)[:max_blocks]
+    entrance_flat = jnp.where(entrance_flat >= big, -1, entrance_flat)
+
+    # place entrances
+    ent_mask = jnp.zeros((HW,), bool).at[
+        jnp.where(entrance_flat >= 0, entrance_flat, 0)].set(
+        entrance_flat >= 0).reshape(H, W)
+    cell = jnp.where(ent_mask, jnp.uint8(C.BLOCK_ENTRANCE), cell)
+    allowed = jnp.where(ent_mask, jnp.uint8(0), allowed)
+    return cell, allowed, entrance_flat
+
+
+def add_entrance_directions(cell, allowed):
+    """Roads adjacent to a BlockEntrance gain an arrow into it; the
+    entrance gets the opposite arrows (`city_model.py:1035-1070`)."""
+    is_ent = cell == C.BLOCK_ENTRANCE
+    road_like = jnp.isin(cell, jnp.array(C.ROAD_LIKE, dtype=jnp.uint8))
+    out = allowed
+    for d in range(4):
+        od = (d + 2) % 4
+        # a road whose neighbor in direction d is an entrance -> arrow d
+        ent_at_d = _shift_from(is_ent, d)
+        out = jnp.where(road_like & ent_at_d & ~is_ent,
+                        out | jnp.uint8(C.DIR_BITS[d]), out)
+        # the entrance itself points back toward the road (direction od
+        # from the entrance's perspective = toward neighbor at od)
+        road_at_od = _shift_from(road_like & ~is_ent, od)
+        out = jnp.where(is_ent & road_at_od,
+                        out | jnp.uint8(C.DIR_BITS[od]), out)
+    return out

@@ -1,0 +1,173 @@
+"""On-device routing: per-destination cost-to-go fields + greedy descent.
+
+Replaces the reference's per-vehicle A* (`astar_numba.py:87-239`, batched
+TF variant `astar_tensorflow_batch.py:108-304`) with multi-destination
+value iteration over the lane graph — the plan from SURVEY §7.3(1): all
+vehicles heading to the same destination share one field; per-vehicle
+divergence (dynamic obstacles, contraflow overtakes) is handled by local
+penalties at step-choice time.
+
+Cost model = the reference A* edge costs (`astar_numba.py:11-24,184-230`):
+  base 1 per cell
+  + VEHICLE_TURN_PENALTY when the move direction changes
+  + road-type penalty of the *entered* cell (R1 0.5 / R2 5 / R3 50,
+    with road_type_map parity: intersections/entrances/ring-corners = 1)
+  + dynamic: occupied cell VEHICLE_OBSTACLE_PENALTY_VEHICLE x
+    (1 + VEHICLE_DYNAMIC_PENALTY_SCALE * density), stop cell
+    VEHICLE_OBSTACLE_PENALTY_STOP, contraflow VEHICLE_CONTRAFLOW_PENALTY.
+
+Unlike the reference (dist keyed by cell only), the field carries the
+heading dimension, so turn penalties are exact.
+
+Field layout: [D, 4, H, W] f32 — W last for TPU lane tiling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import codes as C
+from ..config import Config
+
+INF = jnp.float32(1e9)
+
+
+def _shift_plane(f: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """Value at the neighbor in direction d along the last two axes."""
+    out = jnp.full_like(f, fill)
+    if d == C.N_IDX:
+        return out.at[..., :-1, :].set(f[..., 1:, :])
+    if d == C.S_IDX:
+        return out.at[..., 1:, :].set(f[..., :-1, :])
+    if d == C.E_IDX:
+        return out.at[..., :, :-1].set(f[..., :, 1:])
+    return out.at[..., :, 1:].set(f[..., :, :-1])
+
+
+def road_type_penalty(cfg: Config, road_class: jnp.ndarray) -> jnp.ndarray:
+    """Penalty for entering a cell, by road_type_map value [H, W]."""
+    if not cfg.VEHICLE_ROAD_TYPES_PENALTIES_ENABLED:
+        return jnp.zeros(road_class.shape, jnp.float32)
+    tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
+                     cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
+                     cfg.VEHICLE_ROAD_TYPES_PENALTY_R3], jnp.float32)
+    return tab[jnp.clip(road_class.astype(jnp.int32), 0, 3)]
+
+
+def compute_cost_fields(cfg: Config, allowed_dirs: jnp.ndarray,
+                        road_class: jnp.ndarray, dest_pos: jnp.ndarray,
+                        dest_valid: jnp.ndarray,
+                        max_iters: int | None = None) -> jnp.ndarray:
+    """Value-iterate cost-to-go fields.
+
+    F[d, h, y, x] = min cost to reach destination d from (y,x) when the
+    vehicle's current heading is h.  Returns [D, 4, H, W] f32 (INF where
+    unreachable).
+    """
+    H, W = allowed_dirs.shape
+    D = dest_pos.shape[0]
+    if max_iters is None:
+        max_iters = 3 * (H + W)
+    tp = jnp.float32(cfg.VEHICLE_TURN_PENALTY
+                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0.0)
+    enter = 1.0 + road_type_penalty(cfg, road_class)          # [H, W]
+    bits = allowed_dirs
+
+    dest_oh = jnp.zeros((D, H * W), bool).at[
+        jnp.arange(D), jnp.clip(dest_pos, 0, H * W - 1)].set(dest_valid)
+    dest_oh = dest_oh.reshape(D, H, W)
+
+    F0 = jnp.where(dest_oh[:, None], 0.0, INF)                # [D, 1, H, W]
+    F0 = jnp.broadcast_to(F0, (D, 4, H, W))
+
+    def sweep(F):
+        # cand[m] = enter(n_m) + F[m at n_m]  (cost of moving m then
+        # continuing with heading m)
+        cands = []
+        for m in range(4):
+            fn = _shift_plane(F[:, m], m, INF)                # [D, H, W]
+            en = _shift_plane(enter, m, INF)                  # [H, W]
+            legal = (bits & jnp.uint8(C.DIR_BITS[m])) != 0
+            cands.append(jnp.where(legal, fn + en, INF))
+        cand = jnp.stack(cands, axis=1)                       # [D, 4, H, W]
+        best_any = jnp.min(cand, axis=1, keepdims=True)
+        # heading h either continues straight (cand[h]) or turns (best + tp)
+        newF = jnp.minimum(cand, best_any + tp)
+        return jnp.minimum(newF, F0)  # destinations pinned at 0
+
+    def cond(carry):
+        F, changed, it = carry
+        return changed & (it < max_iters)
+
+    def body(carry):
+        F, _, it = carry
+        newF = sweep(F)
+        return newF, jnp.any(newF != F), it + 1
+
+    F, _, _ = jax.lax.while_loop(cond, body, (F0, jnp.bool_(True),
+                                              jnp.int32(0)))
+    return F
+
+
+def neighbor_info(pos: jnp.ndarray, H: int, W: int):
+    """For flat positions [V], return per-direction neighbor flat index
+    [V, 4] and in-bounds mask [V, 4]."""
+    y = pos // W
+    x = pos % W
+    dy = jnp.asarray(C.DIR_DY)[None, :]
+    dx = jnp.asarray(C.DIR_DX)[None, :]
+    ny = y[:, None] + dy
+    nx = x[:, None] + dx
+    inb = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+    nflat = jnp.clip(ny, 0, H - 1) * W + jnp.clip(nx, 0, W - 1)
+    return nflat, inb
+
+
+def route_argmin(cfg: Config, H: int, W: int, allowed_flat: jnp.ndarray,
+                 enter_flat: jnp.ndarray, is_road_flat: jnp.ndarray,
+                 F: jnp.ndarray, pos: jnp.ndarray, heading: jnp.ndarray,
+                 dest: jnp.ndarray, occ_flat: jnp.ndarray,
+                 stop_flat: jnp.ndarray, density_flat: jnp.ndarray,
+                 allow_contraflow: jnp.ndarray):
+    """Greedy descent step choice for a batch of vehicles.
+
+    Returns (best_dir [V] i32 (-1 if no move), best_next [V] flat index,
+    best_cost [V]).
+    """
+    V = pos.shape[0]
+    D4 = F.reshape(F.shape[0] * 4, H * W)
+    nflat, inb = neighbor_info(jnp.clip(pos, 0, H * W - 1), H, W)  # [V,4]
+    my_bits = allowed_flat[jnp.clip(pos, 0, H * W - 1)]            # [V]
+    tp = jnp.float32(cfg.VEHICLE_TURN_PENALTY
+                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0.0)
+
+    costs = []
+    for m in range(4):
+        n = nflat[:, m]
+        legal = (my_bits & jnp.uint8(C.DIR_BITS[m])) != 0
+        contra = ~legal & allow_contraflow & is_road_flat[n]
+        ok = inb[:, m] & (legal | contra)
+        c = enter_flat[n]
+        c = c + jnp.where(contra, jnp.float32(cfg.VEHICLE_CONTRAFLOW_PENALTY),
+                          0.0)
+        c = c + jnp.where((heading >= 0) & (heading != m), tp, 0.0)
+        if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
+            vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
+                1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density_flat[n])
+        else:
+            vp = jnp.full_like(density_flat[n],
+                               cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
+        c = c + jnp.where(occ_flat[n], vp, 0.0)
+        c = c + jnp.where(stop_flat[n],
+                          jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
+        fval = D4[jnp.clip(dest, 0, F.shape[0] - 1) * 4 + m, n]
+        costs.append(jnp.where(ok, c + fval, INF))
+    cost = jnp.stack(costs, axis=1)                                # [V, 4]
+    best_dir = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    best_cost = jnp.min(cost, axis=1)
+    none = best_cost >= INF
+    best_next = jnp.where(none, pos,
+                          nflat[jnp.arange(V), best_dir])
+    best_dir = jnp.where(none, -1, best_dir)
+    return best_dir, best_next, best_cost
