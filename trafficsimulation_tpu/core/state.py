@@ -77,12 +77,15 @@ class BlockStatic:
 
 @struct.dataclass
 class DestStatic:
-    """Routing destinations: block entrances + highway exits.
-    (Reference valid targets: `city_model.py:2102-2118`.)"""
+    """Routing destinations: block entrances + highway exits, plus the
+    highway-entrance spawn points.  (Reference valid targets:
+    `city_model.py:2102-2118`.)"""
     valid: jnp.ndarray   # bool [D]
     pos: jnp.ndarray     # i32 [D] flat cell index
     kind: jnp.ndarray    # u8 [D] 0 = block entrance, 1 = highway exit
     block: jnp.ndarray   # i32 [D] block id for entrances (-1)
+    hw_pos: jnp.ndarray    # i32 [E] highway-entrance flat cells (-1 pad)
+    hw_valid: jnp.ndarray  # bool [E]
 
 
 @struct.dataclass

@@ -101,8 +101,12 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     dest_kind = dest_kind[order]
     dest_block = dest_block[order]
     ent_dest_id = jnp.where(ent_valid, inv[:B], -1)
+    hw_pos = jnp.nonzero((cell == C.HIGHWAY_ENTRANCE).reshape(-1),
+                         size=caps.max_entrances_hw,
+                         fill_value=-1)[0].astype(jnp.int32)
     dests = DestStatic(valid=dest_valid, pos=dest_pos, kind=dest_kind,
-                       block=dest_block)
+                       block=dest_block, hw_pos=hw_pos,
+                       hw_valid=hw_pos >= 0)
 
     dest_plane = jnp.full((HW,), -1, jnp.int32).at[
         jnp.where(dest_valid, dest_pos, HW - 1)].set(

@@ -1,0 +1,247 @@
+"""Traffic-light control: queue reductions, FSM controllers, phase commit.
+
+Vectorized over all intersection light groups at once — the reference's
+per-group `IntersectionLightGroup.step()` dispatch
+(`intersection_light_group.py:396-423`) becomes masked array updates; the
+njit queue/pressure reducers (`numba_utilities.py:65-152`) become one
+segment-sum over the lane-label planes.
+
+Controllers (bit-exact to the reference):
+  FIXED_TIME           `intersection_light_group.py:427-441`
+  QUEUE_ACTUATED       `intersection_light_group.py:463-494`
+  PRESSURE_CONTROL     `intersection_light_group.py:448-461`
+  NEIGHBOR_PRESSURE_CONTROL `intersection_light_group.py:496-519`
+  NEIGHBOR_GREEN_WAVE  `intersection_light_group.py:521-546`
+Phase commit with all-red transition + clearance hard rule:
+  `_execute_phase_change` `intersection_light_group.py:348-384`.
+RL controllers plug in through the same (pending_phase, rl_timer) surface
+from `trafficsimulation_tpu.rl`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core.state import LightsState, LightStatic, GroupStatic, Grid
+
+NS_IN, NS_OUT, EW_IN, EW_OUT = 0, 1, 2, 3
+
+FSM_ALGOS = ("DISABLED", "FIXED_TIME", "QUEUE_ACTUATED", "PRESSURE_CONTROL",
+             "NEIGHBOR_PRESSURE_CONTROL", "NEIGHBOR_GREEN_WAVE")
+RL_ALGOS = ("NEIGHBOR_RL", "NEIGHBOR_RL_BATCHED", "RL_A2C_BATCHED",
+            "GAT_DQN", "GAT_DQN_BATCHED")
+
+
+def init_lights_state(cfg: Config, num_groups: int, num_lights: int,
+                      group_valid: jnp.ndarray) -> LightsState:
+    G, L = num_groups, num_lights
+    pending = jnp.where(
+        group_valid & (cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM != "DISABLED"),
+        0, -1).astype(jnp.int32)
+    z = jnp.zeros((G,), jnp.int32)
+    return LightsState(
+        current_phase=jnp.full((G,), -1, jnp.int32),
+        pending_phase=pending,
+        transition_timer=z, clearance_timer=z,
+        ft_phase=z, fixed_time_timer=z,
+        queue_timer=z, gap_timer=z, last_arrival=z,
+        ns_pressure=jnp.zeros((G,), jnp.float32),
+        ew_pressure=jnp.zeros((G,), jnp.float32),
+        rl_timer=z,
+        light_stop=jnp.zeros((L,), bool),
+    )
+
+
+def group_queues(grid: Grid, occupancy: jnp.ndarray, num_groups: int):
+    """Per-group (ns_in, ns_out, ew_in, ew_out) occupant counts
+    (`compute_approach_queue` `numba_utilities.py:65-72`)."""
+    G = num_groups
+    qg = grid.queue_group.reshape(-1)
+    qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
+    seg = jnp.where(qg >= 0, qg * 4 + qb, G * 4)
+    occ = occupancy.reshape(-1).astype(jnp.int32)
+    sums = jnp.zeros((G * 4 + 1,), jnp.int32).at[seg].add(occ)
+    q = sums[:G * 4].reshape(G, 4)
+    return q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT]
+
+
+def group_occupied(grid: Grid, occupancy: jnp.ndarray,
+                   num_groups: int) -> jnp.ndarray:
+    """Any vehicle on a group's intersection cells
+    (`is_intersection_occupied` `intersection_light_group.py:284-291`)."""
+    G = num_groups
+    gid = grid.group_id.reshape(-1)
+    seg = jnp.where(gid >= 0, gid, G)
+    occ = occupancy.reshape(-1)
+    return jnp.zeros((G + 1,), bool).at[seg].max(occ)[:G]
+
+
+def _apply_phase(state: LightsState, want, phase) -> LightsState:
+    """`apply_phase` (`intersection_light_group.py:386-393`): register the
+    request unless it matches current or pending."""
+    ok = want & (phase != state.current_phase) & (state.pending_phase == -1)
+    return state.replace(pending_phase=jnp.where(ok, phase,
+                                                 state.pending_phase))
+
+
+def run_controllers(cfg: Config, grid: Grid, gs: GroupStatic,
+                    state: LightsState, occupancy: jnp.ndarray,
+                    rl_phase_request=None) -> LightsState:
+    """One control decision per group (only where no phase is pending)."""
+    algo = cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM
+    G = gs.valid.shape[0]
+    active = gs.valid & (state.pending_phase == -1)
+
+    if algo == "DISABLED":
+        return state
+
+    if algo == "FIXED_TIME":
+        timer = jnp.where(active, state.fixed_time_timer + 1,
+                          state.fixed_time_timer)
+        state = state.replace(fixed_time_timer=timer)
+        state = _apply_phase(state, active & (timer == 1), state.ft_phase)
+        flip = active & (timer >= cfg.TRAFFIC_LIGHT_GREEN_DURATION)
+        return state.replace(
+            ft_phase=jnp.where(flip, 1 - state.ft_phase, state.ft_phase),
+            fixed_time_timer=jnp.where(flip, 0, state.fixed_time_timer))
+
+    ns_in, ns_out, ew_in, ew_out = group_queues(grid, occupancy, G)
+
+    if algo == "QUEUE_ACTUATED":
+        timer = jnp.where(active, state.queue_timer + 1, state.queue_timer)
+        cur_is_ns = state.current_phase == 0
+        cur_q = jnp.where(cur_is_ns, ns_in, ew_in)
+        opp_q = jnp.where(cur_is_ns, ew_in, ns_in)
+        first = active & (timer == 1)
+        grew = active & (cur_q > state.last_arrival)
+        last_arrival = jnp.where(first | grew, cur_q, state.last_arrival)
+        gap = jnp.where(first, 0,
+                        jnp.where(grew, 0,
+                                  jnp.where(active, state.gap_timer + 1,
+                                            state.gap_timer)))
+        switch = active & \
+            (timer >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MIN_GREEN) & (
+                (gap >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_GAP) |
+                (timer >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MAX_GREEN) |
+                ((opp_q > cur_q) & (cur_q == 0)))
+        state = state.replace(queue_timer=jnp.where(switch, 0, timer),
+                              gap_timer=gap, last_arrival=last_arrival)
+        return _apply_phase(state, switch, 1 - state.current_phase)
+
+    if algo in ("PRESSURE_CONTROL", "NEIGHBOR_PRESSURE_CONTROL"):
+        ns_p = (ns_in - ns_out).astype(jnp.float32)
+        ew_p = (ew_in - ew_out).astype(jnp.float32)
+        if algo == "NEIGHBOR_PRESSURE_CONTROL":
+            # subtract downstream neighbors' stored pressures
+            # (`intersection_light_group.py:496-519`)
+            for d in range(4):
+                nb = gs.neighbor[:, d]
+                has = nb >= 0
+                nbs = jnp.clip(nb, 0, G - 1)
+                if d in (0, 2):      # N, S
+                    ns_p = ns_p - jnp.where(has, state.ns_pressure[nbs], 0.0)
+                else:                # E, W
+                    ew_p = ew_p - jnp.where(has, state.ew_pressure[nbs], 0.0)
+        state = state.replace(
+            ns_pressure=jnp.where(active, ns_p, state.ns_pressure),
+            ew_pressure=jnp.where(active, ew_p, state.ew_pressure))
+        return _apply_phase(state, active, jnp.where(ns_p > ew_p, 0, 1))
+
+    if algo == "NEIGHBOR_GREEN_WAVE":
+        favor_ns = jnp.zeros((G,), bool)
+        favor_ew = jnp.zeros((G,), bool)
+        for d in range(4):
+            nb = gs.neighbor[:, d]
+            has = nb >= 0
+            nbs = jnp.clip(nb, 0, G - 1)
+            ph = state.current_phase[nbs]
+            if d in (0, 2):
+                favor_ns = favor_ns | (has & (ph == 0))
+            else:
+                favor_ew = favor_ew | (has & (ph == 1))
+        tie = ~(favor_ns ^ favor_ew)
+        phase = jnp.where(favor_ns & ~favor_ew, 0,
+                          jnp.where(favor_ew & ~favor_ns, 1,
+                                    jnp.where(ns_in > ew_in, 0, 1)))
+        del tie
+        return _apply_phase(state, active, phase)
+
+    if algo in RL_ALGOS:
+        if rl_phase_request is None:
+            raise ValueError(
+                f"algorithm {algo} requires an RL controller; pass its "
+                "phase request (see trafficsimulation_tpu.rl)")
+        want, phase = rl_phase_request
+        return _apply_phase(state, active & want, phase)
+
+    raise ValueError(f"unknown TRAFFIC_LIGHT_AGENT_ALGORITHM {algo!r}")
+
+
+def execute_phase_change(cfg: Config, ls: LightStatic, gs: GroupStatic,
+                         state: LightsState,
+                         intersection_occupied: jnp.ndarray) -> LightsState:
+    """`_execute_phase_change` (`intersection_light_group.py:348-384`)."""
+    G = gs.valid.shape[0]
+    has_pending = gs.valid & (state.pending_phase >= 0)
+
+    in_transition = jnp.zeros((G,), bool)
+    transition_timer = state.transition_timer
+    if cfg.TRAFFIC_LIGHT_TRANSITION_DURATION_ENABLED:
+        in_transition = has_pending & (transition_timer > 0)
+        transition_timer = jnp.where(in_transition, transition_timer - 1,
+                                     transition_timer)
+
+    blocked_clear = jnp.zeros((G,), bool)
+    if cfg.TRAFFIC_LIGHT_TRANSITION_CLEARANCE_ENABLED:
+        blocked_clear = has_pending & ~in_transition & intersection_occupied
+
+    all_red = in_transition | blocked_clear
+    commit = has_pending & ~all_red
+
+    # per-light stop update
+    lg = jnp.clip(ls.group, 0, G - 1)
+    l_has_group = ls.valid & (ls.group >= 0)
+    l_all_red = l_has_group & all_red[lg]
+    l_commit = l_has_group & commit[lg]
+    commit_phase = state.pending_phase[lg]
+    # axis 0 lights go on phase 0; axis 1 on phase 1; unclassified untouched
+    go = (ls.axis >= 0) & (ls.axis == commit_phase)
+    stop = (ls.axis >= 0) & (ls.axis != commit_phase)
+    light_stop = state.light_stop
+    light_stop = jnp.where(l_all_red, True, light_stop)
+    light_stop = jnp.where(l_commit & go, False, light_stop)
+    light_stop = jnp.where(l_commit & stop, True, light_stop)
+
+    return state.replace(
+        transition_timer=transition_timer,
+        current_phase=jnp.where(commit, state.pending_phase,
+                                state.current_phase),
+        pending_phase=jnp.where(commit, -1, state.pending_phase),
+        light_stop=light_stop)
+
+
+def build_stop_map(grid: Grid, ls: LightStatic,
+                   state: LightsState) -> jnp.ndarray:
+    """stop_map from per-light stop flags: a stopped light writes its own
+    cell and each assigned controlled road (`cell.py:241-251`)."""
+    H, W = grid.cell_type.shape
+    HW = H * W
+    stop = jnp.zeros((HW,), bool)
+    L = ls.valid.shape[0]
+    own = jnp.where(ls.valid, ls.pos, HW - 1)
+    stop = stop.at[own].max(ls.valid & state.light_stop)
+    al = jnp.clip(ls.assign_light, 0, L - 1)
+    road = jnp.where(ls.assign_valid, ls.assign_road, HW - 1)
+    stop = stop.at[road].max(ls.assign_valid & state.light_stop[al])
+    return stop.reshape(H, W)
+
+
+def apply_light_overrides(state: LightsState,
+                          light_force: jnp.ndarray) -> LightsState:
+    """Host-bridge Go/Stop endpoints (`traffic_light_control.py:254-402`):
+    -1 none, 0 force go, 1 force stop."""
+    ls = state.light_stop
+    ls = jnp.where(light_force == 0, False, ls)
+    ls = jnp.where(light_force == 1, True, ls)
+    return state.replace(light_stop=ls)

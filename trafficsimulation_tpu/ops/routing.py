@@ -127,10 +127,15 @@ def neighbor_info(pos: jnp.ndarray, H: int, W: int):
 def route_argmin(cfg: Config, H: int, W: int, allowed_flat: jnp.ndarray,
                  enter_flat: jnp.ndarray, is_road_flat: jnp.ndarray,
                  F: jnp.ndarray, pos: jnp.ndarray, heading: jnp.ndarray,
-                 dest: jnp.ndarray, occ_flat: jnp.ndarray,
-                 stop_flat: jnp.ndarray, density_flat: jnp.ndarray,
-                 allow_contraflow: jnp.ndarray):
+                 dest: jnp.ndarray, soft_cost_flat: jnp.ndarray,
+                 hard_flat: jnp.ndarray, allow_contraflow: jnp.ndarray):
     """Greedy descent step choice for a batch of vehicles.
+
+    soft_cost_flat [H*W] f32 — additive dynamic penalty for entering a
+    cell (moving-vehicle + stop penalties per `astar_core`
+    `astar_numba.py:193-214`); hard_flat [H*W] bool — impassable cells
+    (stranded/parked occupants; the reference's strict phase-1 planner
+    treats these as hard blocks, `vehicle_base.py:280-291`).
 
     Returns (best_dir [V] i32 (-1 if no move), best_next [V] flat index,
     best_cost [V]).
@@ -147,20 +152,11 @@ def route_argmin(cfg: Config, H: int, W: int, allowed_flat: jnp.ndarray,
         n = nflat[:, m]
         legal = (my_bits & jnp.uint8(C.DIR_BITS[m])) != 0
         contra = ~legal & allow_contraflow & is_road_flat[n]
-        ok = inb[:, m] & (legal | contra)
-        c = enter_flat[n]
+        ok = inb[:, m] & (legal | contra) & ~hard_flat[n]
+        c = enter_flat[n] + soft_cost_flat[n]
         c = c + jnp.where(contra, jnp.float32(cfg.VEHICLE_CONTRAFLOW_PENALTY),
                           0.0)
         c = c + jnp.where((heading >= 0) & (heading != m), tp, 0.0)
-        if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
-            vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
-                1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density_flat[n])
-        else:
-            vp = jnp.full_like(density_flat[n],
-                               cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
-        c = c + jnp.where(occ_flat[n], vp, 0.0)
-        c = c + jnp.where(stop_flat[n],
-                          jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
         fval = D4[jnp.clip(dest, 0, F.shape[0] - 1) * 4 + m, n]
         costs.append(jnp.where(ok, c + fval, INF))
     cost = jnp.stack(costs, axis=1)                                # [V, 4]
@@ -171,3 +167,17 @@ def route_argmin(cfg: Config, H: int, W: int, allowed_flat: jnp.ndarray,
                           nflat[jnp.arange(V), best_dir])
     best_dir = jnp.where(none, -1, best_dir)
     return best_dir, best_next, best_cost
+
+
+def dynamic_soft_costs(cfg: Config, occ_moving_flat: jnp.ndarray,
+                       stop_flat: jnp.ndarray,
+                       density_flat: jnp.ndarray) -> jnp.ndarray:
+    """Soft entry penalties (`astar_core` `astar_numba.py:193-214`)."""
+    if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
+        vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
+            1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density_flat)
+    else:
+        vp = jnp.full_like(density_flat, cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
+    c = jnp.where(occ_moving_flat, vp, 0.0)
+    return c + jnp.where(stop_flat,
+                         jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
