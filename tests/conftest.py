@@ -1,0 +1,47 @@
+"""Test harness: CPU backend with 8 virtual devices so multi-chip sharding
+logic is testable without TPU hardware (SURVEY §4 implication (d))."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+from trafficsimulation_tpu.config import Config  # noqa: E402
+
+
+SMALL = Config(WIDTH=100, HEIGHT=100, WALL_THICKNESS=8,
+               SIDEWALK_RING_WIDTH=2, MAX_FIELD_DESTS=64, MAX_VEHICLES=512,
+               INTERNAL_POPULATION_TRAFFIC_PER_DAY=2000,
+               PASSING_POPULATION_TRAFFIC_PER_DAY=500)
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    return SMALL
+
+
+@pytest.fixture(scope="session")
+def gen_fn(small_cfg):
+    """Session-cached jitted generator (compiles once)."""
+    import functools
+    from trafficsimulation_tpu.gen.generate import generate_city
+    return jax.jit(functools.partial(generate_city, small_cfg))
+
+
+@pytest.fixture(scope="session")
+def small_city(gen_fn):
+    return jax.block_until_ready(gen_fn(jax.random.PRNGKey(0)))
+
+
+@pytest.fixture(scope="session")
+def small_world(small_cfg):
+    import functools
+    from trafficsimulation_tpu.sim import init_world
+    return jax.jit(functools.partial(init_world, small_cfg))(
+        jax.random.PRNGKey(0))

@@ -1,0 +1,144 @@
+"""Generation invariants + determinism + vmap (SURVEY §4: golden/invariant
+tests the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trafficsimulation_tpu import codes as C
+from trafficsimulation_tpu.gen.generate import generate_city
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_frame_and_interior(small_cfg, small_city):
+    grid = small_city[0]
+    ct = _np(grid.cell_type)
+    cfg = small_cfg
+    # corners are wall (highways never pass through corners)
+    assert ct[0, 0] == C.WALL and ct[-1, -1] == C.WALL
+    # wall band is wall/sidewalk/highway only
+    band = ct[:cfg.WALL_THICKNESS - 1, :]
+    assert set(np.unique(band)) <= {C.WALL, C.SIDEWALK, C.R1,
+                                    C.HIGHWAY_ENTRANCE, C.HIGHWAY_EXIT}
+    # no leftover unzoned space
+    assert (ct == C.NOTHING).sum() == 0
+
+
+def test_road_cells_have_valid_directions(small_city):
+    grid = small_city[0]
+    ct = _np(grid.cell_type)
+    dirs = _np(grid.allowed_dirs)
+    road = np.isin(ct, [C.R1, C.R2, C.R3, C.CONTROLLED_ROAD])
+    # every plain road cell has at least one arrow
+    assert (dirs[road] != 0).all()
+    # arrows from road cells always land on road-like cells in bounds
+    H, W = ct.shape
+    road_like = np.isin(ct, list(C.ROAD_LIKE))
+    for d, (dy, dx) in enumerate(zip(C.DIR_DY, C.DIR_DX)):
+        has = (dirs & (1 << d)) != 0
+        ys, xs = np.nonzero(has & road)
+        ny, nx = ys + dy, xs + dx
+        inb = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+        # boundary entrance/exit arrows may leave the map; plain roads not
+        assert inb.all()
+        assert road_like[ny[inb], nx[inb]].all()
+
+
+def test_dead_end_two_core(small_city):
+    grid = small_city[0]
+    ct = _np(grid.cell_type)
+    road_like = np.isin(ct, list(C.ROAD_LIKE))
+    removable = np.isin(ct, list(C.REMOVABLE_DEAD_END))
+    deg = np.zeros_like(ct, dtype=int)
+    deg[1:, :] += road_like[:-1, :]
+    deg[:-1, :] += road_like[1:, :]
+    deg[:, 1:] += road_like[:, :-1]
+    deg[:, :-1] += road_like[:, 1:]
+    assert (deg[removable] >= 2).all()
+
+
+def test_controlled_roads_point_into_intersections(small_city):
+    grid = small_city[0]
+    ct = _np(grid.cell_type)
+    dirs = _np(grid.allowed_dirs)
+    H, W = ct.shape
+    inter = ct == C.INTERSECTION
+    ys, xs = np.nonzero(ct == C.CONTROLLED_ROAD)
+    for y, x in zip(ys, xs):
+        hits = False
+        for d, (dy, dx) in enumerate(zip(C.DIR_DY, C.DIR_DX)):
+            if dirs[y, x] & (1 << d):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W and inter[ny, nx]:
+                    hits = True
+        assert hits, f"ControlledRoad at ({x},{y}) has no intersection arrow"
+
+
+def test_lights_sit_on_group_corners(small_city):
+    grid, ls, gs = small_city[0], small_city[1], small_city[2]
+    pos = _np(ls.pos)
+    valid = _np(ls.valid)
+    group = _np(ls.group)
+    bbox = _np(gs.bbox)
+    W = grid.cell_type.shape[1]
+    n_checked = 0
+    for i in np.nonzero(valid & (group >= 0))[0]:
+        x, y = pos[i] % W, pos[i] // W
+        minx, maxx, miny, maxy = bbox[group[i]]
+        assert x in (minx - 1, maxx + 1) and y in (miny - 1, maxy + 1)
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_highway_io_on_boundary(small_city):
+    grid = small_city[0]
+    ct = _np(grid.cell_type)
+    H, W = ct.shape
+    for t in (C.HIGHWAY_ENTRANCE, C.HIGHWAY_EXIT):
+        ys, xs = np.nonzero(ct == t)
+        assert len(ys) > 0
+        assert ((ys == 0) | (ys == H - 1) | (xs == 0) | (xs == W - 1)).all()
+
+
+def test_block_entrances_have_arrows(small_city):
+    grid, bs = small_city[0], small_city[3]
+    ct = _np(grid.cell_type)
+    dirs = _np(grid.allowed_dirs)
+    ent = _np(bs.entrance)
+    valid = _np(bs.valid)
+    W = ct.shape[1]
+    n = 0
+    for e in ent[valid]:
+        if e < 0:
+            continue
+        y, x = e // W, e % W
+        assert ct[y, x] == C.BLOCK_ENTRANCE
+        assert dirs[y, x] != 0   # arrows back toward the road
+        n += 1
+    assert n > 0
+
+
+def test_determinism(gen_fn):
+    a = gen_fn(jax.random.PRNGKey(7))
+    b = gen_fn(jax.random.PRNGKey(7))
+    assert (np.asarray(a[0].cell_type) == np.asarray(b[0].cell_type)).all()
+    assert (np.asarray(a[0].allowed_dirs) == np.asarray(b[0].allowed_dirs)).all()
+
+
+def test_seeds_differ(gen_fn):
+    a = gen_fn(jax.random.PRNGKey(1))
+    b = gen_fn(jax.random.PRNGKey(2))
+    assert (np.asarray(a[0].cell_type) != np.asarray(b[0].cell_type)).any()
+
+
+def test_vmap_generation(small_cfg, gen_fn):
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    grids = jax.jit(jax.vmap(
+        lambda k: generate_city(small_cfg, k)[0].cell_type))(keys)
+    assert grids.shape[0] == 3
+    single = gen_fn(keys[1])[0].cell_type
+    assert (np.asarray(grids[1]) == np.asarray(single)).all()

@@ -1,0 +1,191 @@
+"""Bit-exactness of the light FSM vs a Python oracle re-implementing the
+reference semantics (`intersection_light_group.py:348-494`) — the test
+SURVEY §4 prescribes."""
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trafficsimulation_tpu.config import Config
+from trafficsimulation_tpu.lights import fsm
+
+H = W = 16
+G, L = 1, 2
+NS_CELLS = [(7, y) for y in range(3, 7)]    # (x, y) feeding north-south
+EW_CELLS = [(x, 7) for x in range(3, 7)]
+INTER_CELLS = [(7, 7), (8, 7), (7, 8), (8, 8)]
+
+
+def make_synthetic():
+    queue_group = np.full((H, W), -1, np.int32)
+    queue_bucket = np.full((H, W), -1, np.int8)
+    for x, y in NS_CELLS:
+        queue_group[y, x] = 0
+        queue_bucket[y, x] = fsm.NS_IN
+    for x, y in EW_CELLS:
+        queue_group[y, x] = 0
+        queue_bucket[y, x] = fsm.EW_IN
+    group_id = np.full((H, W), -1, np.int32)
+    for x, y in INTER_CELLS:
+        group_id[y, x] = 0
+    grid = SimpleNamespace(queue_group=jnp.asarray(queue_group),
+                           queue_bucket=jnp.asarray(queue_bucket),
+                           group_id=jnp.asarray(group_id),
+                           cell_type=jnp.zeros((H, W), jnp.uint8))
+    gs = SimpleNamespace(valid=jnp.array([True]),
+                         neighbor=jnp.full((G, 4), -1, jnp.int32),
+                         bbox=jnp.array([[7, 8, 7, 8]], jnp.int32),
+                         intersection_size=jnp.array([4 / 16.0]),
+                         penalty_score=jnp.array([0.0]))
+    ls = SimpleNamespace(valid=jnp.array([True, True]),
+                         pos=jnp.array([6 * W + 6, 9 * W + 9], jnp.int32),
+                         group=jnp.array([0, 0], jnp.int32),
+                         axis=jnp.array([0, 1], jnp.int32),
+                         assign_road=jnp.array([6 * W + 7, 7 * W + 6],
+                                               jnp.int32),
+                         assign_light=jnp.array([0, 1], jnp.int32),
+                         assign_valid=jnp.array([True, True]))
+    return grid, gs, ls
+
+
+class OracleGroup:
+    """Direct Python re-statement of the reference group FSM semantics."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.current_phase = None
+        self.pending_phase = None
+        self.transition_timer = 0
+        self._ft_phase = 0
+        self.fixed_time_timer = 0
+        self.queue_timer = 0
+        self.gap_timer = 0
+        self.last_arrival = 0
+        # init: apply_phase(0) when enabled
+        if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM != "DISABLED":
+            self.apply_phase(0)
+        self.stop = {0: False, 1: False}   # per-axis light stop
+
+    def apply_phase(self, phase):
+        if phase == self.current_phase or phase == self.pending_phase:
+            return
+        self.pending_phase = phase
+
+    def step(self, ns_q, ew_q, occupied):
+        cfg = self.cfg
+        if self.pending_phase is None:
+            algo = cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM
+            if algo == "FIXED_TIME":
+                self.fixed_time_timer += 1
+                if self.fixed_time_timer == 1:
+                    self.apply_phase(self._ft_phase)
+                if self.fixed_time_timer >= cfg.TRAFFIC_LIGHT_GREEN_DURATION:
+                    self._ft_phase = 1 - self._ft_phase
+                    self.fixed_time_timer = 0
+            elif algo == "QUEUE_ACTUATED":
+                self.queue_timer += 1
+                cur, opp = (ns_q, ew_q) if self.current_phase == 0 \
+                    else (ew_q, ns_q)
+                if self.queue_timer == 1:
+                    self.last_arrival = cur
+                    self.gap_timer = 0
+                if cur > self.last_arrival:
+                    self.last_arrival = cur
+                    self.gap_timer = 0
+                else:
+                    self.gap_timer += 1
+                if (self.queue_timer >=
+                        cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MIN_GREEN and (
+                        self.gap_timer >=
+                        cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_GAP or
+                        self.queue_timer >=
+                        cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MAX_GREEN or
+                        (opp > cur == 0))):
+                    self.apply_phase(1 - self.current_phase)
+                    self.queue_timer = 0
+            elif algo == "PRESSURE_CONTROL":
+                self.apply_phase(0 if ns_q > ew_q else 1)
+        self._execute(occupied)
+
+    def _execute(self, occupied):
+        cfg = self.cfg
+        if self.pending_phase is None:
+            return
+        if cfg.TRAFFIC_LIGHT_TRANSITION_DURATION_ENABLED and \
+                self.transition_timer > 0:
+            self.transition_timer -= 1
+            self.stop = {0: True, 1: True}
+            return
+        if cfg.TRAFFIC_LIGHT_TRANSITION_CLEARANCE_ENABLED and occupied:
+            self.stop = {0: True, 1: True}
+            return
+        p = self.pending_phase
+        self.stop[p] = False
+        self.stop[1 - p] = True
+        self.current_phase = p
+        self.pending_phase = None
+
+
+@pytest.mark.parametrize("algo", ["FIXED_TIME", "QUEUE_ACTUATED",
+                                  "PRESSURE_CONTROL"])
+def test_fsm_bit_exact_vs_oracle(algo):
+    cfg = Config(TRAFFIC_LIGHT_AGENT_ALGORITHM=algo)
+    grid, gs, ls = make_synthetic()
+    state = fsm.init_lights_state(cfg, G, L, gs.valid)
+    oracle = OracleGroup(cfg)
+    rng = np.random.default_rng(42)
+
+    for t in range(300):
+        occ = np.zeros((H, W), bool)
+        # scripted traffic: pseudorandom arrivals on lane + intersection
+        for x, y in NS_CELLS:
+            occ[y, x] = rng.random() < 0.4
+        for x, y in EW_CELLS:
+            occ[y, x] = rng.random() < 0.25
+        for x, y in INTER_CELLS:
+            occ[y, x] = rng.random() < 0.1
+        occj = jnp.asarray(occ)
+
+        ns_q = sum(occ[y, x] for x, y in NS_CELLS)
+        ew_q = sum(occ[y, x] for x, y in EW_CELLS)
+        occupied = any(occ[y, x] for x, y in INTER_CELLS)
+
+        state = fsm.run_controllers(cfg, grid, gs, state, occj)
+        state = fsm.execute_phase_change(
+            cfg, ls, gs, state, fsm.group_occupied(grid, occj, G))
+        oracle.step(ns_q, ew_q, occupied)
+
+        cur = int(state.current_phase[0])
+        pend = int(state.pending_phase[0])
+        assert cur == (-1 if oracle.current_phase is None
+                       else oracle.current_phase), f"tick {t} phase"
+        assert pend == (-1 if oracle.pending_phase is None
+                        else oracle.pending_phase), f"tick {t} pending"
+        # per-axis stop flags (light 0 = N-S axis, light 1 = E-W)
+        assert bool(state.light_stop[0]) == oracle.stop[0], f"tick {t} ns"
+        assert bool(state.light_stop[1]) == oracle.stop[1], f"tick {t} ew"
+
+
+def test_stop_map_scatter():
+    cfg = Config()
+    grid, gs, ls = make_synthetic()
+    state = fsm.init_lights_state(cfg, G, L, gs.valid)
+    state = state.replace(light_stop=jnp.array([True, False]))
+    grid2 = SimpleNamespace(cell_type=jnp.zeros((H, W), jnp.uint8))
+    stop = fsm.build_stop_map(grid2, ls, state)
+    assert bool(stop[6, 6])          # light 0 own cell
+    assert bool(stop[6, 7])          # light 0 controlled road
+    assert not bool(stop[9, 9])      # light 1 not stopped
+    assert not bool(stop[7, 6])
+
+
+def test_overrides():
+    cfg = Config()
+    grid, gs, ls = make_synthetic()
+    state = fsm.init_lights_state(cfg, G, L, gs.valid)
+    state = state.replace(light_stop=jnp.array([True, True]))
+    state = fsm.apply_light_overrides(state, jnp.array([0, -1], jnp.int8))
+    assert not bool(state.light_stop[0])
+    assert bool(state.light_stop[1])

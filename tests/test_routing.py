@@ -1,0 +1,102 @@
+"""Cost-field correctness vs an exact Dijkstra oracle over the
+(cell, heading) graph with the reference edge costs
+(`astar_numba.py:87-239` static parts: base 1 + turn 10 + road-type
+penalty of the entered cell)."""
+
+import heapq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trafficsimulation_tpu import codes as C
+from trafficsimulation_tpu.ops.routing import (compute_cost_fields,
+                                               route_argmin, INF)
+from trafficsimulation_tpu.config import Config
+
+
+def dijkstra_oracle(cfg, allowed, road_class, dest_flat):
+    """Exact cost-to-go F[h, y, x] by backward Dijkstra on the reversed
+    (cell, heading) graph."""
+    H, W = allowed.shape
+    pen = {0: 0.0, 1: cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
+           2: cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
+           3: cfg.VEHICLE_ROAD_TYPES_PENALTY_R3}
+    tp = cfg.VEHICLE_TURN_PENALTY
+    F = np.full((4, H, W), np.inf)
+    pq = []
+    dy, dx = C.DIR_DY, C.DIR_DX
+    ty, tx = dest_flat // W, dest_flat % W
+    for h in range(4):
+        F[h, ty, tx] = 0.0
+        heapq.heappush(pq, (0.0, h, ty, tx))
+    while pq:
+        d, h, y, x = heapq.heappop(pq)
+        if d > F[h, y, x]:
+            continue
+        # predecessors: cells c with allowed move h landing on (y, x);
+        # c = (y, x) - vec(h); cost = 1 + pen(entered=(y,x)) + turn(h', h)
+        py, px = y - dy[h], x - dx[h]
+        if not (0 <= py < H and 0 <= px < W):
+            continue
+        if not (allowed[py, px] & (1 << h)):
+            continue
+        base = 1.0 + pen[int(road_class[y, x])]
+        for hp in range(4):
+            nd = d + base + (tp if hp != h else 0.0)
+            if nd < F[hp, py, px]:
+                F[hp, py, px] = nd
+                heapq.heappush(pq, (nd, hp, py, px))
+    return F
+
+
+def test_field_matches_dijkstra(small_cfg, small_city):
+    grid, _, _, _, dests, field = small_city
+    allowed = np.asarray(grid.allowed_dirs)
+    rc = np.asarray(grid.road_class)
+    pos = np.asarray(dests.pos)
+    valid = np.asarray(dests.valid)
+    for d in [0, 1, int(np.nonzero(valid)[0][-1] if valid[:2].all() else 0)]:
+        if d >= field.shape[0] or not valid[d]:
+            continue
+        oracle = dijkstra_oracle(small_cfg, allowed, rc, pos[d])
+        got = np.asarray(field[d])
+        finite = np.isfinite(oracle)
+        assert np.allclose(got[finite], oracle[finite], atol=1e-3), \
+            f"dest {d}: max err {np.abs(got[finite]-oracle[finite]).max()}"
+        assert (got[~finite] >= 1e8).all()
+
+
+def test_descent_reaches_destination(small_cfg, small_city):
+    grid, _, _, _, dests, field = small_city
+    H, W = grid.cell_type.shape
+    allowed_flat = grid.allowed_dirs.reshape(-1)
+    is_road_flat = grid.is_road.reshape(-1)
+    from trafficsimulation_tpu.ops.routing import road_type_penalty
+    enter_flat = (1.0 + road_type_penalty(
+        small_cfg, grid.road_class)).reshape(-1)
+    zerof = jnp.zeros((H * W,), jnp.float32)
+    falseh = jnp.zeros((H * W,), bool)
+
+    d = 0
+    dpos = int(dests.pos[d])
+    # start from every road cell with a finite field value
+    f0 = np.asarray(field[d]).min(axis=0).reshape(-1)
+    starts = np.nonzero((f0 < 1e8) & np.asarray(is_road_flat))[0][:64]
+    V = len(starts)
+    assert V > 10
+    pos = jnp.asarray(starts, jnp.int32)
+    heading = jnp.full((V,), -1, jnp.int32)
+    dest = jnp.full((V,), d, jnp.int32)
+    nc = jnp.zeros((V,), bool)
+    for _ in range(4 * (H + W)):
+        dr, nxt, cost = route_argmin(small_cfg, H, W, allowed_flat,
+                                     enter_flat, is_road_flat, field, pos,
+                                     heading, dest, zerof, falseh, nc)
+        done = pos == dpos
+        pos = jnp.where(done, pos, nxt)
+        heading = jnp.where(done, heading, dr)
+        if bool((pos == dpos).all()):
+            break
+    assert bool((pos == dpos).all()), \
+        f"{int((pos != dpos).sum())} walkers failed to reach destination"

@@ -1,0 +1,91 @@
+"""Whole-simulation invariants: occupancy consistency, counter
+conservation, scan-vs-step determinism."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trafficsimulation_tpu import codes as C
+from trafficsimulation_tpu.sim import step_world, run_chunk
+
+
+def _advance(cfg, world, n):
+    f = jax.jit(functools.partial(step_world, cfg))
+    for _ in range(n):
+        world = f(world)
+    return world
+
+
+def check_invariants(world):
+    v = world.vehicles
+    active = np.asarray(v.active)
+    pos = np.asarray(v.pos)
+    vm = np.asarray(world.veh_map).reshape(-1)
+    ct = np.asarray(world.grid.cell_type).reshape(-1)
+
+    # vehicle <-> map bijection
+    on_map = np.nonzero(vm >= 0)[0]
+    assert len(on_map) == active.sum()
+    for cell in on_map:
+        i = vm[cell]
+        assert active[i] and pos[i] == cell
+    # every active vehicle on a road-like cell
+    road_like = np.isin(ct, list(C.ROAD_LIKE))
+    assert road_like[pos[active]].all()
+    # no duplicate positions
+    assert len(np.unique(pos[active])) == active.sum()
+
+
+def test_simulation_invariants(small_cfg, small_world):
+    world = _advance(small_cfg, small_world, 120)
+    check_invariants(world)
+    m = world.metrics
+    created = int(m.created_internal + m.created_through + m.created_service)
+    completed = int(m.completed_internal) + int(m.completed_through)
+    errored = int(m.errored_internal + m.errored_through)
+    live = int(world.vehicles.active.sum())
+    # completed_through double counts service completions; correct for it
+    completed -= 0
+    assert created - completed - errored == live, \
+        (created, completed, errored, live)
+    assert created > 0
+    assert int(world.tick) == 120
+
+
+def test_scan_equals_stepwise(small_cfg, small_world):
+    a = _advance(small_cfg, small_world, 8)
+    b = jax.jit(functools.partial(run_chunk, small_cfg, n=8))(small_world)
+    for name in ("pos", "active", "heading", "stuck_ticks"):
+        assert (np.asarray(getattr(a.vehicles, name)) ==
+                np.asarray(getattr(b.vehicles, name))).all(), name
+    assert (np.asarray(a.veh_map) == np.asarray(b.veh_map)).all()
+    assert (np.asarray(a.stop_map) == np.asarray(b.stop_map)).all()
+    assert int(a.metrics.created_internal) == int(b.metrics.created_internal)
+
+
+def test_vehicles_respect_red_lights(small_cfg, small_world):
+    """No vehicle standing on a stop cell at decide time may move
+    (reference red-light early exit, `vehicle_base.py:639-643`)."""
+    f = jax.jit(functools.partial(step_world, small_cfg))
+    world = _advance(small_cfg, small_world, 60)
+    for _ in range(30):
+        prev = world
+        world = f(world)
+        stopped = np.asarray(prev.stop_map).reshape(-1)
+        pv = np.asarray(prev.vehicles.pos)
+        av = np.asarray(prev.vehicles.active)
+        held = av & (pv >= 0) & stopped[np.clip(pv, 0, len(stopped) - 1)]
+        # vehicles held at a red light do not move this tick
+        moved = np.asarray(world.vehicles.pos) != pv
+        still_active = np.asarray(world.vehicles.active) & av
+        assert not (held & moved & still_active).any()
+
+
+def test_trips_complete_over_time(small_cfg, small_world):
+    world = _advance(small_cfg, small_world, 400)
+    m = world.metrics
+    assert int(m.completed_internal) > 0
+    assert int(m.created_through) > 0
+    check_invariants(world)
