@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: cell-updates/sec on the BASELINE headline config
+(256x256 grid, 10k vehicles — BASELINE.json `metric`).
+
+Measures the fused `step_world` under `lax.scan`:
+  * single world: sim steps/sec with 10k active vehicles
+  * vmapped world batch (data-parallel sweep axis, BASELINE config #4):
+    aggregate cell-updates/sec = worlds * H * W * steps / time
+
+Prints ONE JSON line for the driver.
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trafficsimulation_tpu.config import Config
+from trafficsimulation_tpu.sim import init_world, run_chunk
+
+H = W = 256
+N_VEHICLES = 10_000
+TICKS = 50
+BATCH = 16
+
+
+def inject_vehicles(cfg, world, n, seed=0):
+    """Synthetic dense load: n vehicles on random reachable road cells."""
+    rng = np.random.default_rng(seed)
+    field = np.asarray(world.cost_field.min(axis=1))      # [D, H, W]
+    DF = field.shape[0]
+    dvalid = np.asarray(world.dests.valid)[:DF]
+    dids = np.nonzero(dvalid)[0]
+    reach = (field[dids[0]] < 1e8).reshape(-1)
+    road = np.asarray(world.grid.is_road).reshape(-1)
+    occ_ok = np.asarray(world.veh_map).reshape(-1) < 0
+    cells = np.nonzero(reach & road & occ_ok)[0]
+    n = min(n, len(cells), world.vehicles.active.shape[0])
+    pos = rng.choice(cells, size=n, replace=False).astype(np.int32)
+    dest = dids[rng.integers(0, len(dids), size=n)].astype(np.int32)
+
+    v = world.vehicles
+    idx = jnp.arange(n)
+    v = v.replace(
+        active=v.active.at[idx].set(True),
+        pos=v.pos.at[idx].set(jnp.asarray(pos)),
+        dest=v.dest.at[idx].set(jnp.asarray(dest)),
+        heading=v.heading.at[idx].set(-1),
+        kind=v.kind.at[idx].set(0),
+    )
+    vm = world.veh_map.reshape(-1).at[jnp.asarray(pos)].set(
+        idx.astype(jnp.int32)).reshape(H, W)
+    return world.replace(vehicles=v, veh_map=vm)
+
+
+def main():
+    cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=N_VEHICLES,
+                 MAX_FIELD_DESTS=64)
+    key = jax.random.PRNGKey(0)
+
+    world = jax.jit(functools.partial(init_world, cfg))(key)
+    world = inject_vehicles(cfg, world, N_VEHICLES)
+    world = jax.block_until_ready(world)
+
+    chunk = jax.jit(functools.partial(run_chunk, cfg, n=TICKS))
+    world2 = jax.block_until_ready(chunk(world))   # compile + warm
+    t0 = time.perf_counter()
+    world2 = jax.block_until_ready(chunk(world2))
+    dt_single = time.perf_counter() - t0
+    steps_per_sec = TICKS / dt_single
+
+    # ---- batched worlds (same world replicated; the engine is identical
+    # per world, so replication measures true batched throughput) --------
+    try:
+        worlds = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), world)
+        bstep = jax.jit(functools.partial(
+            lambda c, ws, n: jax.vmap(
+                functools.partial(run_chunk, c, n=n))(ws), cfg, n=TICKS))
+        worlds = jax.block_until_ready(bstep(worlds))
+        t0 = time.perf_counter()
+        worlds = jax.block_until_ready(bstep(worlds))
+        dt_batch = time.perf_counter() - t0
+        cups = BATCH * H * W * TICKS / dt_batch
+        batch_ok = True
+    except Exception:
+        cups = H * W * steps_per_sec
+        batch_ok = False
+
+    active = int(world2.vehicles.active.sum())
+    print(json.dumps({
+        "metric": "cell-updates/sec (256x256, 10k vehicles, "
+                  f"{BATCH if batch_ok else 1}-world batch)",
+        "value": round(cups, 1),
+        "unit": "cell-updates/sec",
+        "vs_baseline": round(cups / 1e9, 4),
+        "extra": {
+            "single_world_steps_per_sec": round(steps_per_sec, 2),
+            "single_world_cell_updates_per_sec": round(
+                H * W * steps_per_sec, 1),
+            "active_vehicles": active,
+            "batch": BATCH if batch_ok else 1,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,73 @@ def test_field_matches_dijkstra(small_cfg, small_city):
         assert (got[~finite] >= 1e8).all()
 
 
+def test_cross_backend_field_vs_native_astar(small_cfg, small_city):
+    """Cross-backend path-cost equivalence: the native C++ A* and the
+    on-device cost field must agree on optimal static costs — the test
+    whose absence let the reference's C++ backend drift (SURVEY §4(c))."""
+    from trafficsimulation_tpu.native import astar as nat
+    if not nat.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    grid, _, _, _, dests, field = small_city
+    H, W = grid.cell_type.shape
+    allowed = np.asarray(grid.allowed_dirs)
+    rc = np.asarray(grid.road_class)
+    is_road = np.asarray(grid.is_road)
+    zeros = np.zeros((H, W), np.uint8)
+    zerof = np.zeros((H, W), np.float32)
+
+    d = 0
+    dpos = int(dests.pos[d])
+    gx, gy = dpos % W, dpos // W
+    fmin = np.asarray(field[d]).min(axis=0)      # unknown-heading value
+    enter = 1.0 + np.where(rc == 1, small_cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
+                           np.where(rc == 2,
+                                    small_cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
+                                    np.where(rc == 3,
+                                             small_cfg.
+                                             VEHICLE_ROAD_TYPES_PENALTY_R3,
+                                             0.0)))
+    pen = {0: 0.0, 1: small_cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
+           2: small_cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
+           3: small_cfg.VEHICLE_ROAD_TYPES_PENALTY_R3}
+
+    starts = np.argwhere(is_road & (np.asarray(field[d]).min(0) < 1e8))
+    rng = np.random.default_rng(0)
+    checked = 0
+    for sy, sx in starts[rng.choice(len(starts), size=12, replace=False)]:
+        if (sy, sx) == (gy, gx):
+            continue
+        path = nat.astar(small_cfg, (sx, sy), (gx, gy), zeros, zeros,
+                         is_road.astype(np.uint8), rc, allowed)
+        assert path, f"native A* found no path from ({sx},{sy})"
+        # accumulate the path's cost under the shared model
+        cost, prev_dir, px, py = 0.0, -1, sx, sy
+        for (x, y) in path:
+            d_idx = {(0, 1): 0, (1, 0): 1, (0, -1): 2, (-1, 0): 3}[
+                (x - px, y - py)]
+            cost += 1.0
+            if prev_dir != -1 and d_idx != prev_dir:
+                cost += small_cfg.VEHICLE_TURN_PENALTY
+            cost += pen[int(rc[y, x])]
+            prev_dir, px, py = d_idx, x, y
+        # field value from the start with unknown heading
+        fval = min(
+            enter[sy + dy, sx + dx] + np.asarray(field[d])[m, sy + dy,
+                                                           sx + dx]
+            for m, (dy, dx) in enumerate(zip(C.DIR_DY, C.DIR_DX))
+            if (allowed[sy, sx] & (1 << m))
+            and 0 <= sy + dy < H and 0 <= sx + dx < W)
+        # A* keys dist by cell only (like the reference), so its path may
+        # be up to one full turn penalty worse than the exact
+        # heading-aware optimum — never better.
+        assert cost >= fval - 1e-3
+        assert cost <= fval + small_cfg.VEHICLE_TURN_PENALTY + 1e-3, \
+            f"({sx},{sy}): A* {cost} vs field {fval}"
+        checked += 1
+    assert checked >= 8
+
+
 def test_descent_reaches_destination(small_cfg, small_city):
     grid, _, _, _, dests, field = small_city
     H, W = grid.cell_type.shape

@@ -67,13 +67,15 @@ def test_scan_equals_stepwise(small_cfg, small_world):
 
 def test_vehicles_respect_red_lights(small_cfg, small_world):
     """No vehicle standing on a stop cell at decide time may move
-    (reference red-light early exit, `vehicle_base.py:639-643`)."""
+    (reference red-light early exit, `vehicle_base.py:639-643`).  Lights
+    commit before decide, so the authoritative stop_map is the one the
+    step produced (world.stop_map after the tick)."""
     f = jax.jit(functools.partial(step_world, small_cfg))
     world = _advance(small_cfg, small_world, 60)
     for _ in range(30):
         prev = world
         world = f(world)
-        stopped = np.asarray(prev.stop_map).reshape(-1)
+        stopped = np.asarray(world.stop_map).reshape(-1)  # decide-time map
         pv = np.asarray(prev.vehicles.pos)
         av = np.asarray(prev.vehicles.active)
         held = av & (pv >= 0) & stopped[np.clip(pv, 0, len(stopped) - 1)]

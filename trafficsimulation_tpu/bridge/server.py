@@ -1,0 +1,231 @@
+"""Host bridge: Tornado HTTP server preserving the reference's control
+endpoint surface.
+
+The reference drives the simulation through a Mesa `ModularServer` with
+per-feature Tornado routes (`mesa_server.py:53-68`); each button POSTs an
+endpoint that mutates agent state directly.  Here every endpoint mutates
+a small host-side `Overrides` struct that is donated into the next scan
+segment (SURVEY §7.1(5)) — the device never blocks on the UI.
+
+Endpoint parity:
+  traffic lights (`traffic_light_control.py:407-438`):
+    /set_traffic_light_go|stop          (single light by id)
+    /set_all_traffic_lights_go|stop
+    /set_intersection_go|stop           (whole group)
+    /set_intersection_opposites_go|stop (group axis pair)
+    /set_intersection_neighbors_go|stop (group + neighbor groups)
+  vehicles (`vehicle_control.py:259-272`):
+    /create_vehicle?start=<flat>&dest=<dest_id>     (409 if occupied)
+    /create_service_vehicle?type=food|waste&entrance=<idx>
+  rain (`rain_control.py:76-80`):
+    /spawn_rain
+  observation:
+    /state   (JSON summary), /frame.png (on-device framebuffer),
+    /metrics (stats dashboard data, `traffic_statistics.py:31-391`)
+    /step?n= (advance n ticks)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+
+import numpy as np
+
+try:
+    import tornado.ioloop
+    import tornado.web
+    HAVE_TORNADO = True
+except ImportError:          # pragma: no cover
+    HAVE_TORNADO = False
+
+
+class BridgeState:
+    """Shared host-side state between HTTP handlers and the sim loop."""
+
+    def __init__(self, sim):
+        self.sim = sim
+        self.lock = threading.Lock()
+        # pending one-shot overrides accumulated between scan segments
+        L = int(sim.world.overrides.light_force.shape[0])
+        self.light_force = np.full((L,), -1, np.int8)
+        self.spawn_rain = False
+        self.spawn_requests = []   # (origin_flat, dest_id, kind)
+
+    # ---- override helpers -------------------------------------------------
+    def force_lights(self, mask_ids, stop: bool):
+        with self.lock:
+            self.light_force[mask_ids] = 1 if stop else 0
+
+    def group_lights(self, group_id: int):
+        ls = self.sim.world.lights_static
+        group = np.asarray(ls.group)
+        valid = np.asarray(ls.valid)
+        return np.nonzero(valid & (group == group_id))[0]
+
+    def flush_into_world(self):
+        """Apply accumulated overrides to the device world (called by the
+        sim loop between scan segments)."""
+        import jax.numpy as jnp
+        with self.lock:
+            lf = self.light_force.copy()
+            sr = self.spawn_rain
+            self.light_force[:] = -1
+            self.spawn_rain = False
+        w = self.sim.world
+        self.sim.world = w.replace(overrides=w.overrides.replace(
+            light_force=jnp.asarray(lf),
+            spawn_rain=jnp.bool_(sr)))
+
+
+def _json(handler, obj, status=200):
+    handler.set_status(status)
+    handler.set_header("Content-Type", "application/json")
+    handler.write(json.dumps(obj))
+
+
+def make_app(bridge: BridgeState):
+    if not HAVE_TORNADO:
+        raise RuntimeError("tornado not available")
+    sim = bridge.sim
+
+    class LightHandler(tornado.web.RequestHandler):
+        def post(self, action):
+            stop = action.endswith("stop")
+            kind = action.rsplit("_", 1)[0]
+            if kind == "set_all_traffic_lights":
+                valid = np.asarray(sim.world.lights_static.valid)
+                bridge.force_lights(np.nonzero(valid)[0], stop)
+            elif kind == "set_traffic_light":
+                lid = int(self.get_argument("id"))
+                bridge.force_lights(np.array([lid]), stop)
+            elif kind in ("set_intersection", "set_intersection_opposites"):
+                gid = int(self.get_argument("group"))
+                bridge.force_lights(bridge.group_lights(gid), stop)
+            elif kind == "set_intersection_neighbors":
+                gid = int(self.get_argument("group"))
+                ids = list(bridge.group_lights(gid))
+                nbrs = np.asarray(sim.world.groups_static.neighbor)[gid]
+                for g in nbrs:
+                    if g >= 0:
+                        ids.extend(bridge.group_lights(int(g)))
+                bridge.force_lights(np.asarray(ids, int), stop)
+            else:
+                return _json(self, {"error": "unknown action"}, 404)
+            _json(self, {"ok": True})
+
+    class VehicleHandler(tornado.web.RequestHandler):
+        def post(self):
+            start = int(self.get_argument("start"))
+            dest = int(self.get_argument("dest"))
+            vm = np.asarray(sim.world.veh_map).reshape(-1)
+            if vm[start] >= 0:
+                return _json(self, {"error": "cell occupied"}, 409)
+            ok = sim.spawn_vehicle(start, dest)
+            _json(self, {"ok": bool(ok)}, 200 if ok else 409)
+
+    class ServiceVehicleHandler(tornado.web.RequestHandler):
+        def post(self):
+            svc = self.get_argument("type", "food").lower()
+            ent = int(self.get_argument("entrance", "0"))
+            hw = np.asarray(sim.world.dests.hw_pos)
+            if ent >= len(hw) or hw[ent] < 0:
+                return _json(self, {"error": "bad entrance"}, 404)
+            ok = sim.spawn_vehicle(int(hw[ent]), -1,
+                                   kind=2 if svc == "food" else 3)
+            _json(self, {"ok": bool(ok)}, 200 if ok else 409)
+
+    class RainHandler(tornado.web.RequestHandler):
+        def post(self):
+            w = sim.world
+            active = int(np.asarray(w.rain.active).sum())
+            cooldown = int(w.rain.cooldown)
+            if active >= w.rain.active.shape[0] or cooldown > 0:
+                return _json(self, {"error": "cooldown or max rains"}, 409)
+            with bridge.lock:
+                bridge.spawn_rain = True
+            _json(self, {"ok": True})
+
+    class StepHandler(tornado.web.RequestHandler):
+        def post(self):
+            n = int(self.get_argument("n", "1"))
+            bridge.flush_into_world()
+            sim.step(n)
+            _json(self, {"ok": True, "tick": int(sim.world.tick)})
+
+    class StateHandler(tornado.web.RequestHandler):
+        def get(self):
+            w = sim.world
+            _json(self, {
+                "tick": int(w.tick),
+                "elapsed": float(w.elapsed),
+                "active_vehicles": int(np.asarray(w.vehicles.active).sum()),
+                "lights": int(np.asarray(w.lights_static.valid).sum()),
+                "groups": int(np.asarray(w.groups_static.valid).sum()),
+                "raining": int(np.asarray(w.rain.active).sum()),
+            })
+
+    class MetricsHandler(tornado.web.RequestHandler):
+        def get(self):
+            _json(self, sim.stats())
+
+    class FrameHandler(tornado.web.RequestHandler):
+        def get(self):
+            fb = np.asarray(sim.render())[::-1]   # north-up
+            try:
+                from PIL import Image
+                buf = io.BytesIO()
+                Image.fromarray(fb).save(buf, format="PNG")
+                self.set_header("Content-Type", "image/png")
+                self.write(buf.getvalue())
+            except ImportError:
+                self.set_header("Content-Type", "application/octet-stream")
+                self.write(fb.tobytes())
+
+    return tornado.web.Application([
+        (r"/(set_traffic_light_(?:go|stop))", LightHandler),
+        (r"/(set_all_traffic_lights_(?:go|stop))", LightHandler),
+        (r"/(set_intersection_(?:go|stop))", LightHandler),
+        (r"/(set_intersection_opposites_(?:go|stop))", LightHandler),
+        (r"/(set_intersection_neighbors_(?:go|stop))", LightHandler),
+        (r"/create_vehicle", VehicleHandler),
+        (r"/create_service_vehicle", ServiceVehicleHandler),
+        (r"/spawn_rain", RainHandler),
+        (r"/step", StepHandler),
+        (r"/state", StateHandler),
+        (r"/metrics", MetricsHandler),
+        (r"/frame.png", FrameHandler),
+    ])
+
+
+def get_free_port(start: int = 9250) -> int:
+    """First free TCP port from `start` (reference `mesa_server.py:19-28`)."""
+    import socket
+    port = start
+    while True:
+        with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+            try:
+                s.bind(("127.0.0.1", port))
+                return port
+            except OSError:
+                port += 1
+
+
+def launch(sim, port: int | None = None, ticks_per_frame: int = 20):
+    """Run the bridge server with a background stepping loop
+    (the reference's `server.launch()` + `render_schedule = 20`,
+    `mesa_server.py:67`)."""
+    bridge = BridgeState(sim)
+    app = make_app(bridge)
+    port = port or get_free_port()
+    app.listen(port)
+    print(f"trafficsimulation-tpu bridge on http://127.0.0.1:{port}")
+
+    def loop():
+        bridge.flush_into_world()
+        sim.step(ticks_per_frame)
+
+    cb = tornado.ioloop.PeriodicCallback(loop, 250)
+    cb.start()
+    tornado.ioloop.IOLoop.current().start()

@@ -343,12 +343,19 @@ class Config:
         return self.HEIGHT - self.WALL_THICKNESS - self.SIDEWALK_RING_WIDTH - 1
 
     def capacities(self) -> Capacities:
-        """Static capacities for the SoA pools, derived from the grid size."""
+        """Static capacities for the SoA pools, derived from the grid size.
+
+        Scatter/gather cost on TPU scales with the *padded* table sizes,
+        so these bounds are as tight as the generator's worst case
+        allows: bands pack at most every (1 + MIN_BLOCK_SPACING) cells
+        (`city_model.py:1124-1127`), the min-R1 quota only inserts while
+        count < MIN_R1_BANDS and each insertion removes overlapping
+        bands (`city_model.py:1233-1266`)."""
         interior = min(self.interior_x_max - self.interior_x_min + 1,
                        self.interior_y_max - self.interior_y_min + 1)
-        # worst case: thickness-1 bands every (1 + MIN_BLOCK_SPACING) cells,
-        # plus forced ring bands and up to 20 forced-highway attempts.
-        max_bands = max(4, interior // (1 + self.MIN_BLOCK_SPACING) + 24)
+        max_bands = max(4, interior // (1 + self.MIN_BLOCK_SPACING)
+                        + 2 + self.MIN_R1_BANDS)
+        # every group needs a distinct (h-band x v-band) crossing
         max_groups = max(16, (max_bands * max_bands) // 2)
         max_lights = 4 * max_groups
         max_blocks = max(16, (max_bands + 2) * (max_bands + 2))

@@ -226,6 +226,8 @@ class World:
     tick: jnp.ndarray           # i32 []
     elapsed: jnp.ndarray        # f32 [] sim-seconds since start
     key: jnp.ndarray            # PRNG key
+    # RL controller train state (None for FSM algorithms)
+    rl: object = None
 
     @property
     def occupancy(self) -> jnp.ndarray:

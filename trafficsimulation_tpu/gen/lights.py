@@ -98,7 +98,7 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     at = jnp.stack(assign_target).reshape(-1)
     aroad = jnp.tile(jnp.arange(HW, dtype=jnp.int32), 4)
 
-    A = caps.max_lights * 8
+    A = caps.max_lights * 4
     aidx = jnp.nonzero(av, size=A, fill_value=-1)[0]
     a_ok = aidx >= 0
     a_road = jnp.where(a_ok, aroad[jnp.clip(aidx, 0, 4 * HW - 1)], -1)

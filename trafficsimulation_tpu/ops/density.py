@@ -12,22 +12,15 @@ import jax.numpy as jnp
 
 
 def box_sum(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Sum over a (2r+1)x(2r+1) window with zero padding, separable."""
+    """Sum over a (2r+1)x(2r+1) window with zero padding, separable.
+    Implemented as 2*(2r+1) shifted adds — pure elementwise VPU work
+    (cumsum/transpose/gather are scalar-bound on TPU)."""
     x = x.astype(jnp.float32)
-
-    def axis_box(a, axis):
-        c = jnp.cumsum(a, axis=axis)
-        n = a.shape[axis]
-        idx = jnp.arange(n)
-        hi = jnp.clip(idx + r, 0, n - 1)
-        lo = idx - r - 1
-        chi = jnp.take(c, hi, axis=axis)
-        clo = jnp.where(
-            (lo >= 0)[(slice(None), None) if axis == 0 else (None, slice(None))],
-            jnp.take(c, jnp.clip(lo, 0, n - 1), axis=axis), 0.0)
-        return chi - clo
-
-    return axis_box(axis_box(x, 0), 1)
+    H, W = x.shape
+    pad = jnp.pad(x, ((r, r), (0, 0)))
+    rows = sum(pad[k:k + H, :] for k in range(2 * r + 1))
+    pad2 = jnp.pad(rows, ((0, 0), (r, r)))
+    return sum(pad2[:, k:k + W] for k in range(2 * r + 1))
 
 
 def density_map(occupancy: jnp.ndarray, is_road: jnp.ndarray,

@@ -30,41 +30,58 @@ import jax.numpy as jnp
 from .. import codes as C
 from ..config import Config
 from ..core.state import Vehicles
-from .routing import route_argmin, dynamic_soft_costs, INF
+from . import routing
+from .routing import dynamic_soft_costs, INF
 
 
-def _lookahead(cfg, H, W, allowed_flat, enter_flat, is_road_flat, F,
-               vehicles: Vehicles, soft_flat, hard_flat, allow_contra,
-               K: int, dest_pos_of_vehicle):
-    """Greedy-descent path [V, K] of flat cells (+ dirs, valid mask)."""
+def _lookahead_nd(cfg, H, W, nd_planes, vehicles: Vehicles,
+                  allow_contra, K: int, dest_pos_of_vehicle):
+    """Greedy-descent path via precomputed next-dir planes: exactly one
+    u8 gather per path step.  Contraflow-flagged moves (bit 5) are only
+    taken by vehicles holding a contraflow allowance.
+
+    Returns (cells, dirs, valid, on_stop, on_veh), all [K, V]."""
     V = vehicles.pos.shape[0]
-    pos = jnp.clip(vehicles.pos, 0, H * W - 1)
-    heading = vehicles.heading
+    HW = H * W
+    D = nd_planes.shape[0]
+    ndf = nd_planes.reshape(-1)
+    # flat-step offsets per direction (N=+W, E=+1, S=-W, W=-1)
+    offs = jnp.array([W, 1, -W, -1, 0], jnp.int32)
 
-    def body(carry, _):
-        p, h, alive = carry
-        d, nxt, cost = route_argmin(cfg, H, W, allowed_flat, enter_flat,
-                                    is_road_flat, F, p, h,
-                                    vehicles.dest, soft_flat, hard_flat,
-                                    allow_contra)
+    p = jnp.clip(vehicles.pos, 0, HW - 1)
+    h1 = jnp.clip(vehicles.heading, -1, 3) + 1
+    alive = vehicles.active
+    dest = jnp.clip(vehicles.dest, 0, D - 1)
+    row_base = (dest * 5) * HW
+
+    cells, dirs, valids, stops, vehs = [], [], [], [], []
+    for _k in range(K):
+        nd = ndf[row_base + h1 * HW + p]            # u8 [V]
         at_dest = p == dest_pos_of_vehicle
-        step_ok = alive & ~at_dest & (d >= 0)
-        np_ = jnp.where(step_ok, nxt, p)
-        nh = jnp.where(step_ok, d, h)
-        return (np_, nh, step_ok), (np_, jnp.where(step_ok, d, -1), step_ok)
+        contra_mv = (nd & 32) != 0                  # bit 5: contraflow move
+        ok = alive & ~at_dest & (nd != 255) & (~contra_mv | allow_contra)
+        d = (nd & 7).astype(jnp.int32)              # bits 0-2: direction
+        step = offs[jnp.clip(d, 0, 4)]
+        np_ = jnp.clip(p + jnp.where(ok, step, 0), 0, HW - 1)
+        cells.append(np_)
+        dirs.append(jnp.where(ok, d, -1))
+        valids.append(ok)
+        stops.append(ok & ((nd & 8) != 0))          # bit 3: target stop
+        vehs.append(ok & ((nd & 16) != 0))          # bit 4: target occupied
+        p = np_
+        h1 = jnp.where(ok, d + 1, h1)
+        alive = ok
+    stack = lambda xs: jnp.stack(xs, axis=0)        # [K, V]
+    return (stack(cells), stack(dirs), stack(valids), stack(stops),
+            stack(vehs))
 
-    (_, _, _), (cells, dirs, valid) = jax.lax.scan(
-        body, (pos, heading, vehicles.active), None, length=K)
-    # [K, V] -> [V, K]
-    return cells.T, dirs.T, valid.T
 
-
-def decide(cfg: Config, H: int, W: int, allowed_flat, enter_flat,
-           is_road_flat, intersection_flat, F, dest_pos_all,
+def decide(cfg: Config, H: int, W: int, allowed_dirs, enter, is_road,
+           intersection_flat, F, dest_pos_all,
            vehicles: Vehicles, veh_map, stop_map, rain_map, density,
            key):
     """Returns (vehicles', path_cells [V,K], path_dirs, path_valid,
-    max_steps [V])."""
+    max_steps [V]).  allowed_dirs/enter/is_road are [H, W] planes."""
     V = vehicles.pos.shape[0]
     HW = H * W
     k_mal, k_side, k_speed = jax.random.split(key, 3)
@@ -144,34 +161,40 @@ def decide(cfg: Config, H: int, W: int, allowed_flat, enter_flat,
     # ---- dynamic obstacle planes ---------------------------------------
     vm = veh_map.reshape(-1)
     occ = vm >= 0
-    occ_idx = jnp.clip(vm, 0, V - 1)
-    occ_stranded = occ & (vehicles.in_collision[occ_idx] |
-                          vehicles.in_malfunction[occ_idx] |
-                          vehicles.parked[occ_idx])
+    # stranded-occupant plane via a [V]-scatter (cheaper on TPU than a
+    # [H*W]-gather of per-vehicle flags)
+    vstr = vehicles.active & (vehicles.in_collision |
+                              vehicles.in_malfunction | vehicles.parked)
+    vpos = jnp.where(vehicles.active, jnp.clip(vehicles.pos, 0, HW - 1), HW)
+    occ_stranded = jnp.zeros((HW + 1,), bool).at[vpos].max(vstr)[:HW]
     occ_moving = occ & ~occ_stranded
     soft = dynamic_soft_costs(cfg, occ_moving, stop_map.reshape(-1),
                               density.reshape(-1))
-    hard = occ_stranded
+    enter_dyn = enter + soft.reshape(H, W)
+    hard = occ_stranded.reshape(H, W)
+
+    # next-hop planes: all the routing math at vector bandwidth ----------
+    dynb = (stop_map.reshape(-1).astype(jnp.uint8)
+            | (occ.astype(jnp.uint8) << 1))
+    nd_planes = routing.next_dir_planes(cfg, allowed_dirs, enter_dyn, hard,
+                                        is_road, dynb, F)
+    D = F.shape[0]
+    ndf = nd_planes.reshape(-1)
 
     dest_pos_of_vehicle = dest_pos_all[jnp.clip(vehicles.dest, 0,
                                                 dest_pos_all.shape[0] - 1)]
 
-    K = cfg.VEHICLE_AWARENESS_RANGE
-    no_contra = jnp.zeros((V,), bool)
-    cells_a, dirs_a, valid_a = _lookahead(
-        cfg, H, W, allowed_flat, enter_flat, is_road_flat, F, vehicles,
-        soft, hard, no_contra, K, dest_pos_of_vehicle)
-
-    # ---- contraflow triggers (`vehicle_base.py:309-419`) ----------------
-    first = cells_a[:, 0]
-    first_valid = valid_a[:, 0]
-    blocker = vm[jnp.clip(first, 0, HW - 1)]
-    blocker_stranded = first_valid & (blocker >= 0) & (
-        vehicles.in_collision[jnp.clip(blocker, 0, V - 1)] |
-        vehicles.in_malfunction[jnp.clip(blocker, 0, V - 1)] |
-        vehicles.parked[jnp.clip(blocker, 0, V - 1)])
-    overtake = (cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE &
-                (blocker_stranded | ~first_valid))
+    # ---- contraflow triggers (`vehicle_base.py:309-419`).  Stranded
+    # blockers are hard obstacles, so the best move being contraflow (or
+    # none at all) on the first step = blocked by a stranded/parked car
+    # or a dead end -> the reference's overtake trigger.
+    destc = jnp.clip(vehicles.dest, 0, D - 1)
+    h1 = jnp.clip(vehicles.heading, -1, 3) + 1
+    first_nd = ndf[(destc * 5 + h1) * HW + pos]
+    blocked = active & ~halted & \
+        ((first_nd == 255) | ((first_nd & 32) != 0)) & \
+        (pos != dest_pos_of_vehicle)
+    overtake = cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE & blocked
     at_inter = intersection_flat[pos]
     stuck_thresh = jnp.where(
         at_inter, cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD_INTERSECTION,
@@ -187,23 +210,20 @@ def decide(cfg: Config, H: int, W: int, allowed_flat, enter_flat,
         contra_ticks)
     allow_contra = active & ~halted & (contra_ticks > 0)
 
-    cells_b, dirs_b, valid_b = _lookahead(
-        cfg, H, W, allowed_flat, enter_flat, is_road_flat, F, vehicles,
-        soft, hard, allow_contra, K, dest_pos_of_vehicle)
-    use_b = allow_contra[:, None]
-    cells = jnp.where(use_b, cells_b, cells_a)
-    dirs = jnp.where(use_b, dirs_b, dirs_a)
-    valid = jnp.where(use_b, valid_b, valid_a)
+    # ---- lookahead: only the first VEHICLE_MAX_SPEED cells can bound
+    # max_steps (speed <= MAX_SPEED), so K = MAX_SPEED suffices for exact
+    # `_determine_max_steps` semantics (`vehicle_base.py:719-731`).
+    K = cfg.VEHICLE_MAX_SPEED
+    cells, dirs, valid, on_stop, on_veh = _lookahead_nd(
+        cfg, H, W, nd_planes, vehicles, allow_contra, K,
+        dest_pos_of_vehicle)
 
     # ---- obstacle scan (`_scan_ahead_for_obstacles`) --------------------
-    cflat = jnp.clip(cells, 0, HW - 1)
-    on_stop = stop_map.reshape(-1)[cflat] & valid
-    on_veh = occ[cflat] & valid
-    idxs = jnp.arange(K)[None, :]
+    idxs = jnp.arange(K)[:, None]
     big = jnp.int32(K + 16)
-    idx_stop = jnp.min(jnp.where(on_stop, idxs, big), axis=1)
-    idx_vehicle = jnp.min(jnp.where(on_veh, idxs, big), axis=1)
-    path_len = jnp.sum(valid, axis=1)
+    idx_stop = jnp.min(jnp.where(on_stop, idxs, big), axis=0)
+    idx_vehicle = jnp.min(jnp.where(on_veh, idxs, big), axis=0)
+    path_len = jnp.sum(valid, axis=0)
 
     max_steps = jnp.minimum(speed, path_len)
     max_steps = jnp.minimum(max_steps, idx_stop)
@@ -224,13 +244,16 @@ def decide(cfg: Config, H: int, W: int, allowed_flat, enter_flat,
     )
     events = dict(new_malfunctions=jnp.sum(new_mal),
                   new_collisions=jnp.sum(new_col))
-    return new_vehicles, cells, dirs, valid, max_steps, events
+    return new_vehicles, cells, dirs, valid, on_stop, max_steps, events
 
 
 def move(cfg: Config, H: int, W: int, vehicles: Vehicles, veh_map,
-         stop_map, cells, dirs, valid, max_steps, key):
+         stop_map, cells, dirs, valid, on_stop, max_steps, key):
     """Execute movement in VEHICLE_MAX_SPEED sub-rounds with random-priority
-    conflict resolution (`_execute_movement` `vehicle_base.py:733-753`)."""
+    conflict resolution (`_execute_movement` `vehicle_base.py:733-753`).
+    cells/dirs/valid/on_stop are [K, V] (K-major so each sub-round reads
+    one row; stop flags come from the decide-time lookahead — lights
+    update before decide, so they are current)."""
     V = vehicles.pos.shape[0]
     HW = H * W
     prio = jax.random.permutation(key, V).astype(jnp.int32)
@@ -239,15 +262,11 @@ def move(cfg: Config, H: int, W: int, vehicles: Vehicles, veh_map,
     def subround(s, carry):
         pos, heading, vm, halted, moved = carry
         want = vehicles.active & ~halted & (s < max_steps)
-        tgt = jnp.clip(cells[:, 0], 0, HW - 1)  # placeholder; real below
-        tgt = jnp.clip(jnp.take_along_axis(
-            cells, jnp.full((V, 1), s, jnp.int32), axis=1)[:, 0], 0, HW - 1)
-        d = jnp.take_along_axis(
-            dirs, jnp.full((V, 1), s, jnp.int32), axis=1)[:, 0]
-        ok = want & jnp.take_along_axis(
-            valid, jnp.full((V, 1), s, jnp.int32), axis=1)[:, 0]
+        tgt = jnp.clip(cells[s], 0, HW - 1)
+        d = dirs[s]
+        ok = want & valid[s]
         # runtime re-checks (`vehicle_base.py:739-746`)
-        stop_block = ok & stop_flat[tgt] & (s != max_steps - 1)
+        stop_block = ok & on_stop[s] & (s != max_steps - 1)
         occ_block = ok & (vm[tgt] >= 0)
         proposer = ok & ~stop_block & ~occ_block
         # conflict resolution: lowest priority value wins the cell

@@ -124,6 +124,74 @@ def neighbor_info(pos: jnp.ndarray, H: int, W: int):
     return nflat, inb
 
 
+def next_dir_planes(cfg: Config, allowed_dirs: jnp.ndarray,
+                    enter_dyn: jnp.ndarray, hard: jnp.ndarray,
+                    is_road: jnp.ndarray, dynb: jnp.ndarray,
+                    F: jnp.ndarray) -> jnp.ndarray:
+    """Per-tick next-hop planes: the greedy-descent argmin evaluated for
+    EVERY cell at full vector bandwidth, so the per-vehicle lookahead
+    becomes one u8 gather per step (TPU random gathers are the per-index
+    bottleneck; plane math is free by comparison).
+
+    Returns u8 [D, 5, H, W]: [dest, heading+1, y, x].  Value encoding:
+    bits 0-2 = best move direction, bit 3 = target cell is a stop cell,
+    bit 4 = target cell is occupied (both from `dynb`, the per-cell
+    dynamic byte), bit 5 = the move is contraflow (only vehicles with a
+    contraflow allowance may take it; others treat it as blocked —
+    exactly when the reference's overtake/detour ladder would trigger),
+    255 = no legal move.  heading slot 0 = unknown heading (no turn
+    penalty), slots 1..4 = N/E/S/W.
+    """
+    H, W = allowed_dirs.shape
+    tp = jnp.float32(cfg.VEHICLE_TURN_PENALTY
+                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0.0)
+    cp = jnp.float32(cfg.VEHICLE_CONTRAFLOW_PENALTY)
+
+    # dyn byte of the target cell per move direction (shifted planes)
+    dyn2d = dynb.reshape(H, W)
+    dyn_at = jnp.stack([_shift_plane(dyn2d, m, 0) for m in range(4)])
+
+    cands = []
+    contra_m = []
+    for m in range(4):
+        fn = _shift_plane(F[:, m], m, INF)               # [D, H, W]
+        en = _shift_plane(enter_dyn, m, INF)             # [H, W]
+        hd = _shift_plane(hard, m, True)
+        rd = _shift_plane(is_road, m, False)
+        legal = (allowed_dirs & jnp.uint8(C.DIR_BITS[m])) != 0
+        ok = (legal | rd) & ~hd
+        base = fn + en + jnp.where(legal, 0.0, cp)
+        cands.append(jnp.where(ok, base, INF))
+        contra_m.append(~legal)
+    cand = jnp.stack(cands, axis=1)                      # [D, 4, H, W]
+    contra_flag = jnp.stack(contra_m)                    # [4, H, W]
+    best_any = jnp.min(cand, axis=1, keepdims=True)
+    argbest = jnp.argmin(cand, axis=1).astype(jnp.uint8)  # [D, H, W]
+    none_any = best_any[:, 0] >= INF
+
+    def encode(d_h):
+        def pick(planes):
+            return jnp.where(d_h == 0, planes[0],
+                             jnp.where(d_h == 1, planes[1],
+                                       jnp.where(d_h == 2, planes[2],
+                                                 planes[3])))
+        dyn = pick(dyn_at).astype(jnp.uint8)
+        cfl = pick(contra_flag).astype(jnp.uint8)
+        return d_h | (dyn << 3) | (cfl << 5)
+
+    slot0 = jnp.where(none_any, jnp.uint8(255), encode(argbest))[:, None]
+    # heading h: straight move cand[h] vs best turn (best_any + tp)
+    per_h = []
+    for h in range(4):
+        straight = cand[:, h]
+        take_straight = straight <= best_any[:, 0] + tp
+        d_h = jnp.where(take_straight, jnp.uint8(h), argbest)
+        d_h = jnp.where(none_any, jnp.uint8(255), encode(d_h))
+        per_h.append(d_h)
+    return jnp.concatenate(
+        [slot0, jnp.stack(per_h, axis=1)], axis=1)       # [D, 5, H, W]
+
+
 def route_argmin(cfg: Config, H: int, W: int, allowed_flat: jnp.ndarray,
                  enter_flat: jnp.ndarray, is_road_flat: jnp.ndarray,
                  F: jnp.ndarray, pos: jnp.ndarray, heading: jnp.ndarray,

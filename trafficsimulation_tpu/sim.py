@@ -97,7 +97,15 @@ def init_world(cfg: Config, key) -> World:
             spawn_rain=jnp.bool_(False)),
         tick=jnp.int32(0),
         elapsed=jnp.float32(0.0),
-        key=key)
+        key=key,
+        rl=_maybe_init_rl(cfg, caps.max_groups, key))
+
+
+def _maybe_init_rl(cfg: Config, num_groups: int, key):
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in fsm.RL_ALGOS:
+        from .rl.controllers import init_rl_state
+        return init_rl_state(cfg, num_groups, key)
+    return None
 
 
 @functools.cache
@@ -135,27 +143,42 @@ def step_world(cfg: Config, world: World) -> World:
     tick = world.tick
     elapsed = world.elapsed + dt
 
-    allowed_flat = grid.allowed_dirs.reshape(-1)
-    is_road_flat = grid.is_road.reshape(-1)
     inter_flat = grid.intersection.reshape(-1)
-    enter_flat = (1.0 + routing.road_type_penalty(
-        cfg, grid.road_class)).reshape(-1)
+    enter = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
 
     # ---- 1. density --------------------------------------------------------
     occupancy = world.veh_map >= 0
     density = density_map(occupancy, grid.is_road,
                           cfg.VEHICLE_AWARENESS_RANGE)
 
-    # ---- 2. decide (reads last tick's stop_map, like
-    # `run_parallel_decide` before `schedule.step`) --------------------------
-    vehicles, cells, dirs, valid, max_steps, events = movement.decide(
-        cfg, H, W, allowed_flat, enter_flat, is_road_flat, inter_flat,
-        world.cost_field, world.dests.pos, world.vehicles, world.veh_map,
-        world.stop_map, world.rain_map, density, k_decide)
-
-    # ---- 3. lights ---------------------------------------------------------
+    # ---- 2. lights (Mesa's RandomActivation interleaves light and
+    # vehicle steps; we commit lights first so decide reads the fresh
+    # stop_map and move can reuse decide's stop flags) -----------------------
+    rl_state = world.rl
+    rl_request = None
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in fsm.RL_ALGOS:
+        from .rl.controllers import rl_controller_step
+        key, k_rl = jax.random.split(key)
+        m0 = world.metrics
+        avg_dur = 0.5 * (
+            m0.sum_duration_internal
+            / jnp.maximum(m0.completed_internal, 1)
+            + m0.sum_duration_through
+            / jnp.maximum(m0.completed_through, 1))
+        avg_tpc = 0.5 * (
+            m0.sum_duration_internal
+            / jnp.maximum(m0.sum_steps_internal, 1)
+            + m0.sum_duration_through
+            / jnp.maximum(m0.sum_steps_through, 1))
+        trip_penalty = 0.01 * avg_dur + 1.0 * avg_tpc
+        rl_state, lights_rl, want, phase_req = rl_controller_step(
+            cfg, rl_state, grid, world.groups_static, world.lights,
+            occupancy, world.stuck_map, trip_penalty, k_rl)
+        world = world.replace(lights=lights_rl)
+        rl_request = (want, phase_req)
     lights = fsm.run_controllers(cfg, grid, world.groups_static,
-                                 world.lights, occupancy)
+                                 world.lights, occupancy,
+                                 rl_phase_request=rl_request)
     occ_groups = fsm.group_occupied(grid, occupancy, caps.max_groups)
     lights = fsm.execute_phase_change(cfg, world.lights_static,
                                       world.groups_static, lights,
@@ -163,9 +186,16 @@ def step_world(cfg: Config, world: World) -> World:
     lights = fsm.apply_light_overrides(lights, world.overrides.light_force)
     stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
 
+    # ---- 3. decide ---------------------------------------------------------
+    vehicles, cells, dirs, valid, on_stop, max_steps, events = \
+        movement.decide(
+            cfg, H, W, grid.allowed_dirs, enter, grid.is_road, inter_flat,
+            world.cost_field, world.dests.pos, world.vehicles,
+            world.veh_map, stop_map, world.rain_map, density, k_decide)
+
     # ---- 4. move -----------------------------------------------------------
     vehicles, veh_map = movement.move(cfg, H, W, vehicles, world.veh_map,
-                                      stop_map, cells, dirs, valid,
+                                      stop_map, cells, dirs, valid, on_stop,
                                       max_steps, k_move)
     vm_flat = jnp.concatenate([veh_map.reshape(-1),
                                jnp.full((1,), -1, jnp.int32)])
@@ -390,7 +420,7 @@ def step_world(cfg: Config, world: World) -> World:
         overrides=Overrides(
             light_force=jnp.full_like(world.overrides.light_force, -1),
             spawn_rain=jnp.bool_(False)),
-        tick=tick + 1, elapsed=elapsed, key=key)
+        tick=tick + 1, elapsed=elapsed, key=key, rl=rl_state)
 
 
 def run_chunk(cfg: Config, world: World, n: int) -> World:
@@ -429,3 +459,118 @@ class TrafficSim:
 
     def num_active_vehicles(self) -> int:
         return int(self.world.vehicles.active.sum())
+
+    def spawn_vehicle(self, origin_flat: int, dest_id: int,
+                      kind: int = 0) -> bool:
+        """Manual spawn (the `/create_vehicle` endpoint path,
+        `vehicle_control.py:64-154`).  Returns False when no slot is free
+        or the cell is occupied."""
+        import numpy as np
+        w = self.world
+        vm = np.asarray(w.veh_map).reshape(-1)
+        if vm[origin_flat] >= 0:
+            return False
+        active = np.asarray(w.vehicles.active)
+        free = np.nonzero(~active)[0]
+        if len(free) == 0:
+            return False
+        slot = int(free[0])
+        sb = -1
+        if kind >= 2:  # service vehicle: target the neediest block
+            bs, bst = w.blocks_static, w.blocks
+            valid = np.asarray(bs.valid) & (np.asarray(bs.dest) >= 0)
+            if kind == 2:
+                urg = np.asarray(bs.food_cap) - np.asarray(bst.food)
+            else:
+                urg = np.asarray(bst.waste)
+            urg = np.where(valid, urg, -1)
+            sb = int(np.argmax(urg))
+            dest_id = int(np.asarray(bs.dest)[sb])
+        v = w.vehicles
+        idx = jnp.asarray([slot])
+        load = (self.cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD if kind == 2 else 0.0)
+        v = v.replace(
+            active=v.active.at[idx].set(True),
+            pos=v.pos.at[idx].set(origin_flat),
+            heading=v.heading.at[idx].set(-1),
+            dest=v.dest.at[idx].set(dest_id),
+            base_speed=v.base_speed.at[idx].set(0),
+            kind=v.kind.at[idx].set(kind),
+            parked=v.parked.at[idx].set(False),
+            depart_time=v.depart_time.at[idx].set(w.elapsed),
+            steps_traveled=v.steps_traveled.at[idx].set(0),
+            service_phase=v.service_phase.at[idx].set(0),
+            load=v.load.at[idx].set(load),
+            service_block=v.service_block.at[idx].set(sb))
+        H, W = self.cfg.HEIGHT, self.cfg.WIDTH
+        veh_map = w.veh_map.reshape(-1).at[origin_flat].set(slot)
+        self.world = w.replace(vehicles=v, veh_map=veh_map.reshape(H, W))
+        return True
+
+    def render(self):
+        """On-device RGB framebuffer [H, W, 3] u8."""
+        from .ops.render import render_frame
+        if not hasattr(self, "_render"):
+            self._render = jax.jit(lambda w: render_frame(
+                w.grid, w.stop_map, w.rain_map, w.veh_map, w.vehicles,
+                pending_mask=jnp.zeros_like(w.stop_map)))
+        return self._render(self.world)
+
+    def stats(self) -> dict:
+        """Dashboard statistics (reference `TrafficStatistics.render`
+        `traffic_statistics.py:31-391` + DTA cached stats
+        `dynamic_traffic_generator.py:525-649`)."""
+        import numpy as np
+        w = self.world
+        m = w.metrics
+        v = w.vehicles
+        active = np.asarray(v.active)
+        kind = np.asarray(v.kind)
+        dt = self.cfg.TIME_PER_STEP_IN_SECONDS
+        off = (self.cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
+               + self.cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
+        total = off + float(w.elapsed)
+
+        def avg(s, c):
+            c = int(c)
+            return float(s) / c if c else 0.0
+
+        return {
+            "tick": int(w.tick),
+            "sim_day": int(total // 86400),
+            "sim_time_of_day": "%02d:%02d:%02d" % (
+                (total % 86400) // 3600, (total % 3600) // 60, total % 60),
+            "seconds_per_tick": dt,
+            "live_internal": int((active & (kind == 0)).sum()),
+            "live_through": int((active & (kind == 1)).sum()),
+            "live_service_food": int((active & (kind == 2)).sum()),
+            "live_service_waste": int((active & (kind == 3)).sum()),
+            "created_internal": int(m.created_internal),
+            "created_through": int(m.created_through),
+            "created_service": int(m.created_service),
+            "completed_internal": int(m.completed_internal),
+            "completed_through": int(m.completed_through),
+            "errored_internal": int(m.errored_internal),
+            "errored_through": int(m.errored_through),
+            "avg_duration_internal": avg(m.sum_duration_internal,
+                                         m.completed_internal),
+            "avg_duration_through": avg(m.sum_duration_through,
+                                        m.completed_through),
+            "avg_time_per_cell_internal": avg(m.sum_duration_internal,
+                                              m.sum_steps_internal),
+            "avg_time_per_cell_through": avg(m.sum_duration_through,
+                                             m.sum_steps_through),
+            "collisions_total": int(m.collisions_total),
+            "malfunctions_total": int(m.malfunctions_total),
+            "parked": int((active & np.asarray(v.parked)).sum()),
+            "stuck": int((active & np.asarray(v.is_stuck)).sum()),
+            "overtaking": int((active &
+                               (np.asarray(v.contraflow_ticks) > 0)).sum()),
+            "avg_stuck_duration": avg(
+                np.asarray(v.stuck_ticks)[active].sum() * dt,
+                active.sum()),
+            "max_stuck_duration": int(
+                np.asarray(v.stuck_ticks)[active].max() * dt
+                if active.any() else 0),
+            "raining": int(np.asarray(w.rain.active).sum()),
+        }
