@@ -79,9 +79,11 @@ def _lookahead_nd(cfg, H, W, nd_planes, vehicles: Vehicles,
 def decide(cfg: Config, H: int, W: int, allowed_dirs, enter, is_road,
            intersection_flat, F, dest_pos_all,
            vehicles: Vehicles, veh_map, stop_map, rain_map, density,
-           key):
+           key, ped_block=None):
     """Returns (vehicles', path_cells [V,K], path_dirs, path_valid,
-    max_steps [V]).  allowed_dirs/enter/is_road are [H, W] planes."""
+    max_steps [V]).  allowed_dirs/enter/is_road are [H, W] planes;
+    ped_block optionally marks cells with crossing pedestrians (hard
+    obstacles for vehicles)."""
     V = vehicles.pos.shape[0]
     HW = H * W
     k_mal, k_side, k_speed = jax.random.split(key, 3)
@@ -167,6 +169,8 @@ def decide(cfg: Config, H: int, W: int, allowed_dirs, enter, is_road,
                               vehicles.in_malfunction | vehicles.parked)
     vpos = jnp.where(vehicles.active, jnp.clip(vehicles.pos, 0, HW - 1), HW)
     occ_stranded = jnp.zeros((HW + 1,), bool).at[vpos].max(vstr)[:HW]
+    if ped_block is not None:
+        occ_stranded = occ_stranded | ped_block
     occ_moving = occ & ~occ_stranded
     soft = dynamic_soft_costs(cfg, occ_moving, stop_map.reshape(-1),
                               density.reshape(-1))
@@ -248,7 +252,8 @@ def decide(cfg: Config, H: int, W: int, allowed_dirs, enter, is_road,
 
 
 def move(cfg: Config, H: int, W: int, vehicles: Vehicles, veh_map,
-         stop_map, cells, dirs, valid, on_stop, max_steps, key):
+         stop_map, cells, dirs, valid, on_stop, max_steps, key,
+         ped_block=None):
     """Execute movement in VEHICLE_MAX_SPEED sub-rounds with random-priority
     conflict resolution (`_execute_movement` `vehicle_base.py:733-753`).
     cells/dirs/valid/on_stop are [K, V] (K-major so each sub-round reads
@@ -268,6 +273,8 @@ def move(cfg: Config, H: int, W: int, vehicles: Vehicles, veh_map,
         # runtime re-checks (`vehicle_base.py:739-746`)
         stop_block = ok & on_stop[s] & (s != max_steps - 1)
         occ_block = ok & (vm[tgt] >= 0)
+        if ped_block is not None:
+            occ_block = occ_block | (ok & ped_block[tgt])
         proposer = ok & ~stop_block & ~occ_block
         # conflict resolution: lowest priority value wins the cell
         win_tab = jnp.full((HW + 1,), jnp.int32(2**30)).at[

@@ -34,6 +34,8 @@ from .agents import demand as demand_mod
 from .agents.blocks import (init_blocks_state, step_blocks, food_shortage,
                             waste_surplus)
 from .agents.rain import init_rain_state, step_rain
+from .agents.pedestrians import (init_pedestrians, ped_capacity,
+                                 step_pedestrians)
 
 KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
 
@@ -92,6 +94,12 @@ def init_world(cfg: Config, key) -> World:
         rain=init_rain_state(cfg),
         demand=dem,
         metrics=init_metrics(),
+        peds=init_pedestrians(ped_capacity(cfg)
+                              if cfg.PEDESTRIANS_ENABLED else 8),
+        ped_map=jnp.zeros((H, W), jnp.int32),
+        ped_spawn_cells=jnp.nonzero(
+            (grid.cell_type == C.SIDEWALK).reshape(-1),
+            size=4096, fill_value=-1)[0].astype(jnp.int32),
         overrides=Overrides(
             light_force=jnp.full((caps.max_lights,), -1, jnp.int8),
             spawn_rain=jnp.bool_(False)),
@@ -186,17 +194,29 @@ def step_world(cfg: Config, world: World) -> World:
     lights = fsm.apply_light_overrides(lights, world.overrides.light_force)
     stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
 
+    # ---- 2b. pedestrians (config #3 extension) ------------------------------
+    peds, ped_map = world.peds, world.ped_map
+    ped_block = None
+    if cfg.PEDESTRIANS_ENABLED:
+        key, k_ped = jax.random.split(key)
+        peds, ped_block, ped_count = step_pedestrians(
+            cfg, H, W, peds, grid.cell_type.reshape(-1),
+            stop_map.reshape(-1), world.ped_spawn_cells, k_ped)
+        ped_map = ped_count.reshape(H, W)
+
     # ---- 3. decide ---------------------------------------------------------
     vehicles, cells, dirs, valid, on_stop, max_steps, events = \
         movement.decide(
             cfg, H, W, grid.allowed_dirs, enter, grid.is_road, inter_flat,
             world.cost_field, world.dests.pos, world.vehicles,
-            world.veh_map, stop_map, world.rain_map, density, k_decide)
+            world.veh_map, stop_map, world.rain_map, density, k_decide,
+            ped_block=ped_block)
 
     # ---- 4. move -----------------------------------------------------------
     vehicles, veh_map = movement.move(cfg, H, W, vehicles, world.veh_map,
                                       stop_map, cells, dirs, valid, on_stop,
-                                      max_steps, k_move)
+                                      max_steps, k_move,
+                                      ped_block=ped_block)
     vm_flat = jnp.concatenate([veh_map.reshape(-1),
                                jnp.full((1,), -1, jnp.int32)])
 
@@ -416,7 +436,7 @@ def step_world(cfg: Config, world: World) -> World:
         veh_map=veh_map, stop_map=stop_map, rain_map=rain_map,
         stuck_map=stuck_map, density=density,
         vehicles=vehicles, lights=lights, blocks=bst, rain=rain,
-        demand=dem, metrics=m,
+        demand=dem, metrics=m, peds=peds, ped_map=ped_map,
         overrides=Overrides(
             light_force=jnp.full_like(world.overrides.light_force, -1),
             spawn_rain=jnp.bool_(False)),
