@@ -91,18 +91,21 @@ def main():
         batch_ok = False
 
     active = int(world2.vehicles.active.sum())
+    single_cups = H * W * steps_per_sec
+    best_cups = max(cups if batch_ok else 0.0, single_cups)
+    best_batch = BATCH if (batch_ok and cups > single_cups) else 1
     print(json.dumps({
         "metric": "cell-updates/sec (256x256, 10k vehicles, "
-                  f"{BATCH if batch_ok else 1}-world batch)",
-        "value": round(cups, 1),
+                  f"{best_batch}-world batch)",
+        "value": round(best_cups, 1),
         "unit": "cell-updates/sec",
-        "vs_baseline": round(cups / 1e9, 4),
+        "vs_baseline": round(best_cups / 1e9, 4),
         "extra": {
             "single_world_steps_per_sec": round(steps_per_sec, 2),
-            "single_world_cell_updates_per_sec": round(
-                H * W * steps_per_sec, 1),
+            "single_world_cell_updates_per_sec": round(single_cups, 1),
+            "batched_cell_updates_per_sec": round(cups, 1) if batch_ok
+            else None,
             "active_vehicles": active,
-            "batch": BATCH if batch_ok else 1,
             "device": str(jax.devices()[0]),
         },
     }))

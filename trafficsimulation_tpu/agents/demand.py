@@ -192,3 +192,32 @@ def generate_day(cfg: Config, layout: TripLayout, key, day,
         cursor=jnp.int32(0),
         day=jnp.asarray(day, jnp.int32),
     )
+
+
+def generate_days(cfg: Config, layout: TripLayout, key, start_day,
+                  n_days: int, current_tick, blk_valid, blk_btype,
+                  blk_dest, blk_entrance, dest_valid, dest_kind,
+                  entrance_pos, entrance_valid,
+                  n_field_dests: int) -> Demand:
+    """Concatenate `n_days` consecutive day tables and re-sort globally
+    so invalid trips land at the very end (the spawn cursor walks a
+    valid-sorted prefix)."""
+    keys = jax.random.split(key, n_days)
+    days = [generate_day(cfg, layout, keys[i], start_day + i, current_tick,
+                         blk_valid, blk_btype, blk_dest, blk_entrance,
+                         dest_valid, dest_kind, entrance_pos,
+                         entrance_valid, n_field_dests)
+            for i in range(n_days)]
+    cat = lambda f: jnp.concatenate([f(d) for d in days])
+    depart = cat(lambda d: d.depart_tick)
+    valid = cat(lambda d: d.valid)
+    order = jnp.argsort(jnp.where(valid, depart, jnp.int32(2**30)))
+    return Demand(
+        depart_tick=depart[order],
+        origin=cat(lambda d: d.origin)[order],
+        dest=cat(lambda d: d.dest)[order],
+        kind=cat(lambda d: d.kind)[order],
+        valid=valid[order],
+        cursor=jnp.int32(0),
+        day=jnp.asarray(start_day + n_days - 1, jnp.int32),
+    )

@@ -170,6 +170,41 @@ def make_app(bridge: BridgeState):
         def get(self):
             _json(self, sim.stats())
 
+    class ParamsHandler(tornado.web.RequestHandler):
+        """Parameter panel parity (`model_parameters.py:67-189`): GET
+        lists the generation parameters, POST /reset rebuilds the model
+        with overrides (the reference's model-reset path,
+        `dynamic_grid_server.py:9-24`)."""
+
+        def get(self):
+            import dataclasses
+            _json(self, {k: v for k, v in
+                         dataclasses.asdict(sim.cfg).items()
+                         if isinstance(v, (int, float, bool, str))})
+
+    class ResetHandler(tornado.web.RequestHandler):
+        def post(self):
+            import dataclasses
+            fields = {f.name: f.type for f in dataclasses.fields(
+                type(sim.cfg))}
+            kw = {}
+            for k in self.request.arguments:
+                if k in fields:
+                    cur = getattr(sim.cfg, k)
+                    raw = self.get_argument(k)
+                    if isinstance(cur, bool):
+                        kw[k] = raw.lower() in ("1", "true", "on")
+                    elif isinstance(cur, int):
+                        kw[k] = int(raw)
+                    elif isinstance(cur, float):
+                        kw[k] = float(raw)
+                    elif isinstance(cur, str):
+                        kw[k] = raw
+            seed = int(self.get_argument("seed", "0"))
+            sim.reset(sim.cfg.replace(**kw), seed=seed)
+            bridge.light_force = np.full_like(bridge.light_force, -1)
+            _json(self, {"ok": True, "changed": sorted(kw)})
+
     class FrameHandler(tornado.web.RequestHandler):
         def get(self):
             fb = np.asarray(sim.render())[::-1]   # north-up
@@ -193,6 +228,8 @@ def make_app(bridge: BridgeState):
         (r"/create_service_vehicle", ServiceVehicleHandler),
         (r"/spawn_rain", RainHandler),
         (r"/step", StepHandler),
+        (r"/params", ParamsHandler),
+        (r"/reset", ResetHandler),
         (r"/state", StateHandler),
         (r"/metrics", MetricsHandler),
         (r"/frame.png", FrameHandler),

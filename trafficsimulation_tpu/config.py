@@ -280,6 +280,11 @@ class Config:
     PATHFINDING_BATCHING: bool = True
     # TPU addition: dynamic-cost field refresh cadence (ticks)
     FIELD_REFRESH_INTERVAL: int = 16
+    # TPU addition: days of demand pre-generated into the device trip
+    # table.  In-step regeneration would execute on every tick under
+    # vmapped world batches (lax.cond -> select), so the table is built
+    # ahead and extended host-side between scan segments.
+    DEMAND_PREGEN_DAYS: int = 2
     # TPU addition: number of destinations with precomputed cost fields.
     # Destinations are compacted valid-first; only the first
     # MAX_FIELD_DESTS get fields ([D,4,H,W] f32 — the memory knob).

@@ -59,11 +59,17 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     hbands = ensure_minimum_highways(khm, cfg, hbands, H, inset)
     vbands = ensure_minimum_highways(kvm, cfg, vbands, W, inset)
 
-    # ---- rasterize + zoning ----------------------------------------------
+    # ---- rasterize + optional sub-block L-roads + zoning --------------------
     ras = rasterize(cfg, hbands, vbands)
-    cell, block_ids, btype, inner_count, bvalid = apply_zoning(
-        kz, cfg, ras["cell_type"], caps.max_blocks)
+    cell = ras["cell_type"]
     allowed = ras["allowed_dirs"]
+    if cfg.CARVE_SUBBLOCK_ROADS:
+        from .subblocks import carve_subblock_roads
+        kz, ksb = jax.random.split(kz)
+        cell, allowed = carve_subblock_roads(cfg, ksb, cell, allowed,
+                                             caps.max_blocks)
+    cell, block_ids, btype, inner_count, bvalid = apply_zoning(
+        kz, cfg, cell, caps.max_blocks)
     cell, allowed = eliminate_dead_ends(cell, allowed)
     cell, allowed, _up = upgrade_r2_to_intersections(
         cfg, cell, allowed, ras["horiz_band"], ras["ring_corner"])

@@ -147,46 +147,52 @@ def next_dir_planes(cfg: Config, allowed_dirs: jnp.ndarray,
                      if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0.0)
     cp = jnp.float32(cfg.VEHICLE_CONTRAFLOW_PENALTY)
 
-    # dyn byte of the target cell per move direction (shifted planes)
+    # dyn byte of the target cell per move direction (shifted planes).
+    # The per-move "extra" byte (dyn bits + contraflow flag) is cheap to
+    # keep as 4 [H, W] planes; the expensive [D, ...] work streams with
+    # running min/argmin so no [D, 4, H, W] transient materializes (it
+    # would dominate HBM under vmapped world batches).
     dyn2d = dynb.reshape(H, W)
-    dyn_at = jnp.stack([_shift_plane(dyn2d, m, 0) for m in range(4)])
-
-    cands = []
-    contra_m = []
+    extras = []
+    per_m = []
     for m in range(4):
-        fn = _shift_plane(F[:, m], m, INF)               # [D, H, W]
         en = _shift_plane(enter_dyn, m, INF)             # [H, W]
         hd = _shift_plane(hard, m, True)
         rd = _shift_plane(is_road, m, False)
         legal = (allowed_dirs & jnp.uint8(C.DIR_BITS[m])) != 0
         ok = (legal | rd) & ~hd
-        base = fn + en + jnp.where(legal, 0.0, cp)
-        cands.append(jnp.where(ok, base, INF))
-        contra_m.append(~legal)
-    cand = jnp.stack(cands, axis=1)                      # [D, 4, H, W]
-    contra_flag = jnp.stack(contra_m)                    # [4, H, W]
-    best_any = jnp.min(cand, axis=1, keepdims=True)
-    argbest = jnp.argmin(cand, axis=1).astype(jnp.uint8)  # [D, H, W]
-    none_any = best_any[:, 0] >= INF
+        base_hw = en + jnp.where(legal, 0.0, cp)
+        per_m.append((jnp.where(ok, base_hw, INF),))
+        extras.append((_shift_plane(dyn2d, m, 0).astype(jnp.uint8) << 3)
+                      | (jnp.uint8(m))
+                      | ((~legal).astype(jnp.uint8) << 5))
 
-    def encode(d_h):
-        def pick(planes):
-            return jnp.where(d_h == 0, planes[0],
-                             jnp.where(d_h == 1, planes[1],
-                                       jnp.where(d_h == 2, planes[2],
-                                                 planes[3])))
-        dyn = pick(dyn_at).astype(jnp.uint8)
-        cfl = pick(contra_flag).astype(jnp.uint8)
-        return d_h | (dyn << 3) | (cfl << 5)
+    def cand_m(m):
+        fn = _shift_plane(F[:, m], m, INF)               # [D, H, W]
+        return fn + per_m[m][0]
 
-    slot0 = jnp.where(none_any, jnp.uint8(255), encode(argbest))[:, None]
-    # heading h: straight move cand[h] vs best turn (best_any + tp)
+    best = cand_m(0)
+    arg = jnp.zeros(best.shape, jnp.uint8)
+    for m in range(1, 4):
+        c = cand_m(m)
+        upd = c < best
+        best = jnp.where(upd, c, best)
+        arg = jnp.where(upd, jnp.uint8(m), arg)
+    none_any = best >= INF
+
+    # extras byte of the chosen direction (dir | dyn<<3 | contra<<5)
+    enc_best = jnp.where(arg == 0, extras[0],
+                         jnp.where(arg == 1, extras[1],
+                                   jnp.where(arg == 2, extras[2],
+                                             extras[3])))
+    enc_best = jnp.where(none_any, jnp.uint8(255), enc_best)
+    slot0 = enc_best[:, None]
+    # heading h: straight move cand[h] vs best turn (best + tp)
     per_h = []
     for h in range(4):
-        straight = cand[:, h]
-        take_straight = straight <= best_any[:, 0] + tp
-        d_h = jnp.where(take_straight, jnp.uint8(h), argbest)
-        d_h = jnp.where(none_any, jnp.uint8(255), encode(d_h))
+        take_straight = cand_m(h) <= best + tp
+        d_h = jnp.where(take_straight, extras[h], enc_best)
+        d_h = jnp.where(none_any, jnp.uint8(255), d_h)
         per_h.append(d_h)
     return jnp.concatenate(
         [slot0, jnp.stack(per_h, axis=1)], axis=1)       # [D, 5, H, W]

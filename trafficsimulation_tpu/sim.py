@@ -75,9 +75,9 @@ def init_world(cfg: Config, key) -> World:
     grid, ls, gs, bs, dests, field = generate_city(cfg, kgen)
     layout = trip_layout_cached(cfg)
     DF = field.shape[0]
-    dem = demand_mod.generate_day(
-        cfg, layout, kday, jnp.int32(0), jnp.int32(-1),
-        bs.valid, bs.btype, bs.dest, bs.entrance,
+    dem = demand_mod.generate_days(
+        cfg, layout, kday, jnp.int32(0), cfg.DEMAND_PREGEN_DAYS,
+        jnp.int32(-1), bs.valid, bs.btype, bs.dest, bs.entrance,
         dests.valid, dests.kind, dests.hw_pos, dests.hw_valid, DF)
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
@@ -338,20 +338,12 @@ def step_world(cfg: Config, world: World) -> World:
                 kill & (vehicles.kind != KIND_INTERNAL)))
         vehicles, vm_flat = _despawn(vehicles, vm_flat, kill)
 
-    # ---- 6. demand: day rollover + spawning --------------------------------
-    off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
-           + cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
-    new_day = ((off + elapsed) // 86400).astype(jnp.int32)
+    # ---- 6. demand spawning.  The trip table is pre-generated for
+    # DEMAND_PREGEN_DAYS (in-step regeneration would run on every tick
+    # under vmapped batches — lax.cond lowers to select); the host
+    # wrapper extends the table between scan segments.
+    del k_day, layout
     dem = world.demand
-
-    def regen(dem):
-        return demand_mod.generate_day(
-            cfg, layout, k_day, new_day, tick,
-            bs.valid, bs.btype, bs.dest, bs.entrance,
-            world.dests.valid, world.dests.kind, world.dests.hw_pos,
-            world.dests.hw_valid, DF)
-
-    dem = jax.lax.cond(new_day > dem.day, regen, lambda d: d, dem)
 
     S = caps.max_spawns_per_tick
     T = dem.depart_tick.shape[0]
@@ -455,13 +447,23 @@ class TrafficSim:
     """Host-side convenience wrapper (the `CityModel` stand-in for users)."""
 
     def __init__(self, cfg: Config = Config(), seed: int = 0):
-        self.cfg = cfg
-        self._init = jax.jit(functools.partial(init_world, cfg))
-        self._step = jax.jit(functools.partial(step_world, cfg))
+        self.reset(cfg, seed)
+
+    def reset(self, cfg: Config = None, seed: int = 0):
+        """Rebuild the model (the reference's model-reset path,
+        `dynamic_grid_server.py:9-24`)."""
+        if cfg is not None:
+            self.cfg = cfg
+        self._init = jax.jit(functools.partial(init_world, self.cfg))
+        self._step = jax.jit(functools.partial(step_world, self.cfg))
         self._chunks = {}
+        if hasattr(self, "_render"):
+            del self._render
         self.world = self._init(jax.random.PRNGKey(seed))
+        return self.world
 
     def step(self, n: int = 1):
+        self._maybe_extend_demand(n)
         if n == 1:
             self.world = self._step(self.world)
             return self.world
@@ -470,6 +472,28 @@ class TrafficSim:
                 functools.partial(run_chunk, self.cfg, n=n))
         self.world = self._chunks[n](self.world)
         return self.world
+
+    def _maybe_extend_demand(self, n: int):
+        """Extend the pre-generated trip table when the cursor nears its
+        end (day rollover handled host-side between scan segments —
+        reference `_generate_day` at rollover,
+        `dynamic_traffic_generator.py:161-179`)."""
+        from .agents import demand as demand_mod
+        dem = self.world.demand
+        T = int(dem.depart_tick.shape[0])
+        if int(dem.cursor) < T - 2 * self.cfg.capacities().max_spawns_per_tick:
+            return
+        w = self.world
+        key, kd = jax.random.split(w.key)
+        layout = trip_layout_cached(self.cfg)
+        DF = w.cost_field.shape[0]
+        new = demand_mod.generate_days(
+            self.cfg, layout, kd, dem.day + 1, self.cfg.DEMAND_PREGEN_DAYS,
+            w.tick, w.blocks_static.valid, w.blocks_static.btype,
+            w.blocks_static.dest, w.blocks_static.entrance,
+            w.dests.valid, w.dests.kind, w.dests.hw_pos, w.dests.hw_valid,
+            DF)
+        self.world = w.replace(demand=new, key=key)
 
     # -- reference-parity query API (`city_model.py:1980-2149`) ------------
     def get_traffic_lights(self):
