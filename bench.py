@@ -56,6 +56,9 @@ def inject_vehicles(cfg, world, n, seed=0):
     return world.replace(vehicles=v, veh_map=vm)
 
 
+_T0 = time.perf_counter()
+
+
 def main():
     cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=N_VEHICLES,
                  MAX_FIELD_DESTS=64)
@@ -74,7 +77,10 @@ def main():
 
     # ---- batched worlds (same world replicated; the engine is identical
     # per world, so replication measures true batched throughput) --------
+    t_start = time.perf_counter()
     try:
+        if t_start - _T0 > 360:
+            raise TimeoutError("skip batch measurement (time budget)")
         worlds = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), world)
         bstep = jax.jit(functools.partial(
