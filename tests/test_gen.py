@@ -135,6 +135,30 @@ def test_seeds_differ(gen_fn):
     assert (np.asarray(a[0].cell_type) != np.asarray(b[0].cell_type)).any()
 
 
+def test_subblock_roads(small_cfg):
+    cfg = small_cfg.replace(CARVE_SUBBLOCK_ROADS=True, SUBBLOCK_CHANGE=1.0,
+                            MIN_BLOCK_SPACING=10, MAX_BLOCK_SPACING=24)
+    grid = generate_city(cfg, jax.random.PRNGKey(3))[0]
+    ct = _np(grid.cell_type)
+    dirs = _np(grid.allowed_dirs)
+    road = np.isin(ct, [C.R1, C.R2, C.R3, C.CONTROLLED_ROAD])
+    assert (dirs[road] != 0).all()
+    # every surviving sub-block (R3) cell's arrows land on road-like
+    # cells.  (Band-end arrows of R1/R2 lanes may dangle into sidewalk
+    # when the min-R1 quota removed a ring band — the reference leaves
+    # those too; they are unreachable dead ends for routing.)
+    road_like = np.isin(ct, list(C.ROAD_LIKE))
+    H, W = ct.shape
+    r3 = ct == C.R3
+    assert r3.any()
+    for d, (dy, dx) in enumerate(zip(C.DIR_DY, C.DIR_DX)):
+        has = ((dirs & (1 << d)) != 0) & r3
+        ys, xs = np.nonzero(has)
+        ny, nx = ys + dy, xs + dx
+        assert ((ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)).all()
+        assert road_like[ny, nx].all()
+
+
 def test_vmap_generation(small_cfg, gen_fn):
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     grids = jax.jit(jax.vmap(

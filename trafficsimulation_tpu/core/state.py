@@ -186,6 +186,12 @@ class Metrics:
     sum_steps_through: jnp.ndarray
     collisions_total: jnp.ndarray
     malfunctions_total: jnp.ndarray
+    # daily counters (reset at day rollover; the reference records
+    # finished - spawned per day, `dynamic_traffic_generator.py:161-179`)
+    daily_created: jnp.ndarray
+    daily_finished: jnp.ndarray
+    last_daily_difference: jnp.ndarray
+    day: jnp.ndarray
 
 
 @struct.dataclass

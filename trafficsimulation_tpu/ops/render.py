@@ -22,11 +22,15 @@ from .. import codes as C
 
 
 def render_frame(grid, stop_map, rain_map, veh_map, vehicles,
-                 pending_mask=None) -> jnp.ndarray:
-    """Returns u8 [H, W, 3]."""
+                 pending_mask=None, level: int = 2) -> jnp.ndarray:
+    """Returns u8 [H, W, 3].  `level` follows the reference's
+    AGENT_PORTRAYAL_LEVEL (`cell.py:259-344`): 0 = static palette only,
+    >=1 adds dynamic recolors and vehicle overlays."""
     H, W = grid.cell_type.shape
     palette = jnp.asarray(C.PALETTE)
     fb = palette[grid.cell_type.astype(jnp.int32)]          # [H, W, 3]
+    if level == 0:
+        return fb
 
     # stop recolors
     is_light = grid.cell_type == C.TRAFFIC_LIGHT

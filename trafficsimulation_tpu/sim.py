@@ -65,7 +65,9 @@ def init_metrics() -> Metrics:
         errored_internal=z, errored_through=z,
         sum_duration_internal=zf, sum_duration_through=zf,
         sum_steps_internal=z, sum_steps_through=z,
-        collisions_total=z, malfunctions_total=z)
+        collisions_total=z, malfunctions_total=z,
+        daily_created=z, daily_finished=z, last_daily_difference=z,
+        day=z)
 
 
 def init_world(cfg: Config, key) -> World:
@@ -351,6 +353,8 @@ def step_world(cfg: Config, world: World) -> World:
     j = jnp.clip(idxs, 0, T - 1)
     due = (idxs < T) & dem.valid[j] & (dem.depart_tick[j] <= tick + 1)
     due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
+    if not cfg.ENABLE_TRAFFIC:   # reference ENABLE_TRAFFIC flag
+        due = due & False
     slots = jnp.nonzero(~vehicles.active, size=S, fill_value=-1)[0]
     slots = slots.astype(jnp.int32)
     can = due & (slots >= 0)
@@ -413,6 +417,23 @@ def step_world(cfg: Config, world: World) -> World:
             dropped & (tkind == KIND_INTERNAL)),
         errored_through=m.errored_through + jnp.sum(
             dropped & (tkind != KIND_INTERNAL)))
+
+    # daily counters (`dynamic_traffic_generator.py:161-179`)
+    off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
+           + cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
+    new_day = ((off + elapsed) // 86400).astype(jnp.int32)
+    rolled = new_day > m.day
+    tick_created = jnp.sum(can & (tkind <= KIND_THROUGH))
+    tick_finished = jnp.sum(done) + jnp.sum(svc_done)
+    m = m.replace(
+        last_daily_difference=jnp.where(
+            rolled, m.daily_finished - m.daily_created,
+            m.last_daily_difference),
+        daily_created=jnp.where(rolled, tick_created,
+                                m.daily_created + tick_created),
+        daily_finished=jnp.where(rolled, tick_finished,
+                                 m.daily_finished + tick_finished),
+        day=new_day)
 
     # ---- 7. rain, blocks, clock --------------------------------------------
     rain, rain_map = step_rain(cfg, H, W, world.rain, k_rain,
@@ -606,6 +627,9 @@ class TrafficSim:
                                              m.sum_steps_through),
             "collisions_total": int(m.collisions_total),
             "malfunctions_total": int(m.malfunctions_total),
+            "daily_created": int(m.daily_created),
+            "daily_finished": int(m.daily_finished),
+            "last_daily_difference": int(m.last_daily_difference),
             "parked": int((active & np.asarray(v.parked)).sum()),
             "stuck": int((active & np.asarray(v.is_stuck)).sum()),
             "overtaking": int((active &
