@@ -103,13 +103,20 @@ def make_app(bridge: BridgeState):
             elif kind in ("set_intersection", "set_intersection_opposites"):
                 gid = int(self.get_argument("group"))
                 bridge.force_lights(bridge.group_lights(gid), stop)
-            elif kind == "set_intersection_neighbors":
+            elif kind in ("set_intersection_neighbors",
+                          "set_intersection_neighbors_intermediate"):
                 gid = int(self.get_argument("group"))
                 ids = list(bridge.group_lights(gid))
                 nbrs = np.asarray(sim.world.groups_static.neighbor)[gid]
                 for g in nbrs:
                     if g >= 0:
                         ids.extend(bridge.group_lights(int(g)))
+                if kind.endswith("intermediate"):
+                    inters = np.asarray(
+                        sim.world.groups_static.intermediates)[gid]
+                    for g in inters:
+                        if g >= 0:
+                            ids.extend(bridge.group_lights(int(g)))
                 bridge.force_lights(np.asarray(ids, int), stop)
             else:
                 return _json(self, {"error": "unknown action"}, 404)
@@ -224,6 +231,8 @@ def make_app(bridge: BridgeState):
         (r"/(set_intersection_(?:go|stop))", LightHandler),
         (r"/(set_intersection_opposites_(?:go|stop))", LightHandler),
         (r"/(set_intersection_neighbors_(?:go|stop))", LightHandler),
+        (r"/(set_intersection_neighbors_intermediate_(?:go|stop))",
+         LightHandler),
         (r"/create_vehicle", VehicleHandler),
         (r"/create_service_vehicle", ServiceVehicleHandler),
         (r"/spawn_rain", RainHandler),

@@ -55,6 +55,7 @@ class GroupStatic:
     Grid; per-tick queues are segment-sums over those labels."""
     valid: jnp.ndarray        # bool [G]
     neighbor: jnp.ndarray     # i32 [G, 4] neighbor group per direction (-1)
+    intermediates: jnp.ndarray  # i32 [G, M] passed-over groups (-1 pad)
     bbox: jnp.ndarray         # i32 [G, 4] (minx, maxx, miny, maxy)
     intersection_size: jnp.ndarray  # f32 [G] = |cells| / 16
     penalty_score: jnp.ndarray      # f32 [G] mean road-type penalty

@@ -151,6 +151,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     groups_static = GroupStatic(
         valid=lg["group_valid"],
         neighbor=lg["group_neighbor"],
+        intermediates=lg["group_intermediates"],
         bbox=lg["group_bbox"],
         intersection_size=lg["intersection_size"],
         penalty_score=lg["penalty_score"],

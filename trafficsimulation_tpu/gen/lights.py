@@ -245,20 +245,56 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     ccx = jnp.clip((gminx + gmaxx) // 2, 0, W - 1)
     ccy = jnp.clip((gminy + gmaxy) // 2, 0, H - 1)
     neighbor = jnp.full((G, 4), -1, jnp.int32)
+    M_INTER = 8
+    intermediates = jnp.full((G, M_INTER), -1, jnp.int32)
     max_walk = max(H, W)
     gids = jnp.arange(G, dtype=jnp.int32)
+    # perpendicular bbox extent per axis: a hit group "blocks all lanes"
+    # of the walker's corridor when its extent across the walk direction
+    # is at least the walker group's (`blocks_all_lanes`
+    # `intersection_light_group.py:185-202`, band test re-expressed with
+    # group bounding boxes); smaller crossings become intermediates.
+    ext_x = gmaxx - gminx + 1
+    ext_y = gmaxy - gminy + 1
     for d in range(4):
-        def walk(s, found):
+        my_ext = ext_x if d in (C.N_IDX, C.S_IDX) else ext_y
+        nb_ext = ext_x if d in (C.N_IDX, C.S_IDX) else ext_y
+
+        def walk(s, st):
+            found, inter, icnt, last = st
             py = ccy + (s + 1) * int(C.DIR_DY[d])
             px = ccx + (s + 1) * int(C.DIR_DX[d])
             inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
             g = gp2[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
-            hit = inb & (g >= 0) & (g != gids) & (found < 0)
-            return jnp.where(hit, g, found)
+            fresh = inb & (g >= 0) & (g != gids) & (g != last) & (found < 0)
+            gs = jnp.clip(g, 0, G - 1)
+            blocks = nb_ext[gs] >= my_ext
+            hit = fresh & blocks
+            found = jnp.where(hit, g, found)
+            # record a passed-over (non-blocking) group as intermediate
+            put = fresh & ~blocks & (icnt < M_INTER)
+            slot = jnp.clip(icnt, 0, M_INTER - 1)
+            inter = inter.at[gids, slot].set(
+                jnp.where(put, g, inter[gids, slot]))
+            icnt = icnt + put.astype(jnp.int32)
+            last = jnp.where(inb & (g >= 0), g, last)
+            return found, inter, icnt, last
 
-        found = jax.lax.fori_loop(0, max_walk, walk,
-                                  jnp.full((G,), -1, jnp.int32))
+        found, inter_d, _, _ = jax.lax.fori_loop(
+            0, max_walk, walk,
+            (jnp.full((G,), -1, jnp.int32),
+             jnp.full((G, M_INTER), -1, jnp.int32),
+             jnp.zeros((G,), jnp.int32),
+             jnp.full((G,), -1, jnp.int32)))
         neighbor = neighbor.at[:, d].set(jnp.where(g_valid, found, -1))
+        # merge this direction's intermediates into free slots
+        for k in range(M_INTER):
+            cand = inter_d[:, k]
+            has = g_valid & (cand >= 0)
+            free = jnp.argmax(intermediates < 0, axis=1)
+            intermediates = intermediates.at[gids, free].set(
+                jnp.where(has & (intermediates[gids, free] < 0), cand,
+                          intermediates[gids, free]))
 
     return dict(
         cell_type=cell,
@@ -274,6 +310,7 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
         group_plane=group_plane,
         group_valid=g_valid,
         group_neighbor=neighbor,
+        group_intermediates=intermediates,
         group_bbox=jnp.stack([gminx, gmaxx, gminy, gmaxy], axis=1),
         intersection_size=intersection_size,
         penalty_score=penalty_score,
