@@ -12,9 +12,17 @@ Prints ONE JSON line for the driver.
 
 import functools
 import json
+import os
 import time
 
 import jax
+
+# persistent XLA compilation cache: repeated bench/driver runs skip the
+# multi-minute generation-pipeline compile
+os.makedirs("/tmp/tsim_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/tsim_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -3,13 +3,17 @@ logic is testable without TPU hardware (SURVEY §4 implication (d))."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend (the ambient environment may point JAX at a TPU
+# plugin and may have imported jax already via sitecustomize, so the env
+# var alone is not enough — set the config knob too).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 from trafficsimulation_tpu.config import Config  # noqa: E402

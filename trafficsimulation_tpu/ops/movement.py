@@ -31,7 +31,7 @@ from .. import codes as C
 from ..config import Config
 from ..core.state import Vehicles
 from . import routing
-from .routing import dynamic_soft_costs, INF
+from .routing import dynamic_soft_costs
 
 
 def _lookahead_nd(cfg, H, W, nd_planes, vehicles: Vehicles,

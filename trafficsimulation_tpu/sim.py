@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from . import codes as C
 from .config import Config
-from .core.state import (World, Vehicles, Metrics, Overrides, Demand)
+from .core.state import World, Vehicles, Metrics, Overrides
 from .gen.generate import generate_city
 from .ops import movement, routing
 from .ops.density import density_map
