@@ -261,17 +261,28 @@ def get_free_port(start: int = 9250) -> int:
 def launch(sim, port: int | None = None, ticks_per_frame: int = 20):
     """Run the bridge server with a background stepping loop
     (the reference's `server.launch()` + `render_schedule = 20`,
-    `mesa_server.py:67`)."""
+    `mesa_server.py:67`), CSV recording and tick timing."""
+    from ..recording import ResultsRecorder
+    from ..profiling import TickTimer
     bridge = BridgeState(sim)
     app = make_app(bridge)
     port = port or get_free_port()
     app.listen(port)
     print(f"trafficsimulation-tpu bridge on http://127.0.0.1:{port}")
+    recorder = ResultsRecorder(sim.cfg)
+    timer = TickTimer(seconds_per_tick=sim.cfg.TIME_PER_STEP_IN_SECONDS)
 
     def loop():
         bridge.flush_into_world()
         sim.step(ticks_per_frame)
+        timer.record(ticks_per_frame)
+        stats = sim.stats()
+        stats.update(timer.stats())
+        recorder.maybe_record(stats)
 
     cb = tornado.ioloop.PeriodicCallback(loop, 250)
     cb.start()
-    tornado.ioloop.IOLoop.current().start()
+    try:
+        tornado.ioloop.IOLoop.current().start()
+    finally:
+        recorder.cleanup_if_empty()
