@@ -50,3 +50,16 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_mesh_helpers(small_cfg):
+    from trafficsimulation_tpu.parallel.mesh import (
+        make_mesh, init_world_batch, run_batch, fleet_metrics)
+    mesh = make_mesh(4)
+    worlds = init_world_batch(small_cfg, jax.random.PRNGKey(0), 4, mesh)
+    worlds = jax.jit(functools.partial(run_batch, small_cfg,
+                                       n_ticks=3))(worlds)
+    fm = fleet_metrics(worlds)
+    assert int(worlds.tick[0]) == 3
+    assert int(fm["created"]) >= 0

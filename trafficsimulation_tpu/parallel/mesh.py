@@ -29,18 +29,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "worlds") -> Mesh:
 
 
 def init_world_batch(cfg: Config, key, n_worlds: int, mesh: Mesh | None):
-    """Generate a batch of worlds, sharded across the mesh's `worlds` axis."""
+    """Generate a batch of worlds, sharded across the mesh's `worlds`
+    axis.  Sharding the PRNG keys is sufficient: XLA propagates the
+    batch-dim sharding through the vmapped generator, keeping each world
+    resident on its own device."""
     keys = jax.random.split(key, n_worlds)
-    f = jax.jit(jax.vmap(functools.partial(init_world, cfg)))
     if mesh is not None:
-        sharding = NamedSharding(mesh, P("worlds"))
-        keys = jax.device_put(keys, sharding)
-        f = jax.jit(jax.vmap(functools.partial(init_world, cfg)),
-                    out_shardings=jax.tree_util.tree_map(
-                        lambda _: sharding, jax.eval_shape(
-                            jax.vmap(functools.partial(init_world, cfg)),
-                            keys)))
-    return f(keys)
+        keys = jax.device_put(keys, NamedSharding(mesh, P("worlds")))
+    return jax.jit(jax.vmap(functools.partial(init_world, cfg)))(keys)
 
 
 def batched_step(cfg: Config):
