@@ -315,9 +315,24 @@ class Config:
     SHOW_METRICS_STATISTICS: bool = True
     STATISTICS_UPDATE_INTERVAL: int = 20
 
-    # misc / debug
+    # misc / debug (reference `config.py:430-449`; portrayal caching and
+    # dummy agents are CPU-object-graph optimizations with no TPU
+    # counterpart — accepted for API compatibility, no behavioral effect)
     ENABLE_AGENT_PORTRAYAL: bool = True
     AGENT_PORTRAYAL_LEVEL: int = 2
+    USE_DUMMY_AGENTS: bool = False
+    CACHE_CELL_PORTRAYAL: bool = True
+    CUDA_GPU_ENABLED: bool = False
+    CHANGE_ASSIGNED_CELL_COLOR_ON_STOP: bool = False
+
+    # colors (reference `config.py:297-332`; the renderer palette in
+    # `codes.py` is derived from these CSS names)
+    VEHICLE_BASE_COLOR: str = "black"
+    VEHICLE_PARKED_COLOR: str = "aliceblue"
+    VEHICLE_CONTRAFLOW_OVERTAKE_COLOR: str = "orange"
+    VEHICLE_MALFUNCTION_COLOR: str = "yellow"
+    VEHICLE_COLLISION_COLOR: str = "red"
+    SERVICE_VEHICLE_BASE_COLOR: str = "darkolivegreen"
 
     # TPU capacity overrides (0 → derive from grid size)
     MAX_VEHICLES: int = 0
@@ -328,8 +343,73 @@ class Config:
     # ------------------------------------------------------------------
 
     def road_thickness(self, rtype: str) -> int:
+        return self.ROAD_THICKNESS[rtype]
+
+    # ------------------------------------------------------------------
+    # Reference-compatible constant tables (class attributes, not
+    # dataclass fields, so hashability for jit static args is preserved).
+    # Reference: `config.py:13, 51-95, 62-72, 42, 98-141, 146-152, 439-447`.
+    # ------------------------------------------------------------------
+    ROADS = ("R1", "R2", "R3")
+    AVAILABLE_CITY_BLOCKS = ("Residential", "Office", "Market", "Leisure",
+                             "Other")
+    AVAILABLE_DIRECTIONS = ("N", "S", "E", "W")
+    DIRECTION_VECTORS = {"N": (0, 1), "S": (0, -1), "W": (-1, 0),
+                         "E": (1, 0)}
+    DIRECTION_OPPOSITES = {"N": "S", "S": "N", "E": "W", "W": "E"}
+    DIRECTION_TO_THE_RIGHT = {"N": "E", "E": "S", "S": "W", "W": "N"}
+    DIRECTION_ICONS = {"N": "↑", "S": "↓", "E": "→",
+                       "W": "←"}
+    ROAD_LIKE_TYPES = frozenset({"R1", "R2", "R3", "Intersection",
+                                 "HighwayEntrance", "HighwayExit",
+                                 "BlockEntrance"})
+    ROAD_LIKE_TYPES_WITHOUT_INTERSECTIONS = frozenset(
+        {"R1", "R2", "R3", "HighwayEntrance", "HighwayExit",
+         "BlockEntrance"})
+    REMOVABLE_DEAD_END_TYPES = frozenset({"R2", "R3", "Intersection"})
+    FORWARD_TRAFFIC_LIGHT_INTERSECTION_OPTIONS = (
+        "Skip", "Include in Range", "Include as Extra")
+    ZONES = ("Residential", "Office", "Market", "Leisure", "Other",
+             "Empty", "Nothing", "Sidewalk", "Wall", "R1", "R2", "R3",
+             "Intersection", "HighwayEntrance", "HighwayExit",
+             "TrafficLight", "TrafficLightStop", "ControlledRoad",
+             "ControlledRoadStop", "BlockEntrance")
+    ZONE_COLORS = {
+        "Residential": "cadetblue", "Office": "orange", "Market": "green",
+        "Leisure": "palevioletred", "Other": "darkkhaki",
+        "Empty": "papayawhip", "Nothing": "white", "Sidewalk": "grey",
+        "Wall": "black", "R1": "dodgerblue", "R2": "saddlebrown",
+        "R3": "darkgreen", "Intersection": "yellow",
+        "IntersectionPending": "darkkhaki", "HighwayEntrance": "blue",
+        "HighwayExit": "royalblue", "TrafficLight": "lime",
+        "TrafficLightStop": "red", "ControlledRoad": "thistle",
+        "ControlledRoadStop": "salmon", "BlockEntrance": "magenta"}
+    DESCRIPTION_MAP = {
+        "Residential": "Residential City Block",
+        "Office": "Office City Block", "Market": "Market City Block",
+        "Leisure": "Leisure City Block",
+        "Other": "Miscellaneous City Block", "Empty": "Empty City Block",
+        "Nothing": "Empty/unused space", "Sidewalk": "Pedestrian Walkway",
+        "Wall": "Outer Wall", "R1": "Highway (4 Lanes, 2/Dir)",
+        "R2": "Major Road (2 Lanes, 1/Dir)",
+        "R3": "Local Road (1 Lane, One Dir)",
+        "Intersection": "Road intersection",
+        "HighwayEntrance": "Highway Entrance",
+        "HighwayExit": "Highway Exit",
+        "TrafficLight": "Intersection Traffic Light",
+        "ControlledRoad": "Road Controlled by Traffic Light",
+        "BlockEntrance": "City Block Entrance & Exit"}
+    ABBR = {"Res": "Residential", "Off": "Office", "Mar": "Market",
+            "Lei": "Leisure", "Oth": "Other"}
+    CACHED_TYPES = tuple(z for z in ZONES if z not in (
+        "HighwayEntrance", "HighwayExit", "TrafficLight",
+        "TrafficLightStop", "ControlledRoad", "ControlledRoadStop",
+        "Intersection", "BlockEntrance"))
+
+    @property
+    def ROAD_THICKNESS(self):
         return {"R1": self.ROAD_THICKNESS_R1, "R2": self.ROAD_THICKNESS_R2,
-                "R3": self.ROAD_THICKNESS_R3}[rtype]
+                "R3": self.ROAD_THICKNESS_R3}
 
     @property
     def interior_x_min(self) -> int:

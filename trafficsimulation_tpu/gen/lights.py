@@ -224,6 +224,58 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
             light_of_cell = light_of_cell.at[tgt].set(
                 jnp.where(put, a_light, light_of_cell[tgt]))
 
+    # ---- 6b. optional forward scan (`_scan_for_traffic_flow_forward`
+    # `city_model.py:1550-1584`): walk forward along the road's
+    # directions labeling outgoing road cells; intersections handled per
+    # FORWARD_TRAFFIC_LIGHT_INTERSECTIONS ("Skip" passes over them,
+    # "Include in Range" labels and consumes range, "Include as Extra"
+    # labels for free).  The reference's directly_leads_to recursion
+    # (opposite-lane hops) is not modeled.
+    if cfg.FORWARD_TRAFFIC_LIGHT_RANGE:
+        mode = cfg.FORWARD_TRAFFIC_LIGHT_INTERSECTIONS
+        for d in range(4):
+            has_d = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
+            alive = has_d
+            depth = jnp.zeros_like(a_road)
+            py, px = rc_y, rc_x
+            for _k in range(2 * R):
+                py = py + C.DIR_DY[d]
+                px = px + C.DIR_DX[d]
+                inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
+                cy = jnp.clip(py, 0, H - 1)
+                cx = jnp.clip(px, 0, W - 1)
+                pf = cy * W + cx
+                ctype = cell[cy, cx]
+                cdirs = allowed[cy, cx]
+                is_int = ctype == C.INTERSECTION
+                same = orig_type[cy, cx] == a_orig
+                flows_on = (cdirs & jnp.uint8(C.DIR_BITS[d])) != 0
+                in_range = depth <= cfg.TRAFFIC_LIGHT_RANGE
+                label_int = is_int & (mode != "Skip")
+                label_road = same & flows_on
+                put = alive & inb & in_range & (label_int | label_road)
+                is_ns = (cdirs & jnp.uint8(1 | 4)) != 0
+                is_ew = (cdirs & jnp.uint8(2 | 8)) != 0
+                bucket = jnp.where(
+                    is_ns, jnp.where(cy < a_ly, NS_IN, NS_OUT),
+                    jnp.where(is_ew,
+                              jnp.where(cx < a_lx, EW_IN, EW_OUT), -1))
+                tgt = jnp.where(put & (bucket >= 0), pf, HW - 1)
+                ok_put = put & (bucket >= 0)
+                queue_group = queue_group.at[tgt].set(
+                    jnp.where(ok_put, a_g, queue_group[tgt]))
+                queue_bucket = queue_bucket.at[tgt].set(
+                    jnp.where(ok_put, bucket.astype(jnp.int8),
+                              queue_bucket[tgt]))
+                light_of_cell = light_of_cell.at[tgt].set(
+                    jnp.where(ok_put, a_light, light_of_cell[tgt]))
+                consumed = jnp.where(
+                    is_int, jnp.int32(mode == "Include in Range"),
+                    jnp.int32(1))
+                depth = depth + jnp.where(alive & inb, consumed, 0)
+                alive = alive & inb & (is_int | same) & in_range
+        del mode
+
     # ---- 7. group scalar features (`intersection_light_group.py:155-171`)
     pen_tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
                          cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
