@@ -286,9 +286,10 @@ class Config:
     # ahead and extended host-side between scan segments.
     DEMAND_PREGEN_DAYS: int = 2
     # TPU addition: number of destinations with precomputed cost fields.
-    # Destinations are compacted valid-first; only the first
-    # MAX_FIELD_DESTS get fields ([D,4,H,W] f32 — the memory knob).
-    MAX_FIELD_DESTS: int = 384
+    # Destinations are compacted valid-first (entrances, exits, then
+    # block service cells); only the first MAX_FIELD_DESTS get fields
+    # ([D,4,H,W] f32 — the memory knob).
+    MAX_FIELD_DESTS: int = 512
 
     # traffic
     ENABLE_TRAFFIC: bool = True

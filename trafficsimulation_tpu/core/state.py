@@ -70,6 +70,7 @@ class BlockStatic:
     inner_count: jnp.ndarray  # i32 [B] number of inner cells
     entrance: jnp.ndarray     # i32 [B] flat index of BlockEntrance (-1)
     dest: jnp.ndarray         # i32 [B] routing destination id (-1)
+    service_dest: jnp.ndarray  # i32 [B] service road cell dest id (-1)
     food_cap: jnp.ndarray     # f32 [B]
     waste_cap: jnp.ndarray    # f32 [B]
     needs_food: jnp.ndarray   # bool [B]

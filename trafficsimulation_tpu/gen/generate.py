@@ -82,24 +82,35 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     lg = build_lights_and_groups(cfg, caps, cell, allowed)
     cell = lg["cell_type"]
 
-    # ---- destination set: block entrances then highway exits --------------
+    # ---- destination set: block entrances, highway exits, then block
+    # service road cells (`get_service_road_cell` parity — service
+    # vehicles park ON the road next to the block) -------------------------
+    from .zoning import place_service_cells
     B, E = caps.max_blocks, caps.max_exits
     exit_flat = jnp.nonzero((cell == C.HIGHWAY_EXIT).reshape(-1),
                             size=E, fill_value=-1)[0].astype(jnp.int32)
     ent_valid = entrance_flat >= 0
+    service_flat = place_service_cells(cell, block_ids, btype,
+                                       entrance_flat, B)
+    svc_valid = (service_flat >= 0) & ent_valid
     dest_pos = jnp.concatenate([jnp.where(ent_valid, entrance_flat, 0),
-                                jnp.where(exit_flat >= 0, exit_flat, 0)])
-    dest_valid = jnp.concatenate([ent_valid, exit_flat >= 0])
+                                jnp.where(exit_flat >= 0, exit_flat, 0),
+                                jnp.where(svc_valid, service_flat, 0)])
+    dest_valid = jnp.concatenate([ent_valid, exit_flat >= 0, svc_valid])
     dest_kind = jnp.concatenate([
-        jnp.zeros((B,), jnp.uint8), jnp.ones((E,), jnp.uint8)])
+        jnp.zeros((B,), jnp.uint8), jnp.ones((E,), jnp.uint8),
+        jnp.full((B,), 2, jnp.uint8)])
     dest_block = jnp.concatenate([
         jnp.arange(B, dtype=jnp.int32),
-        jnp.full((E,), -1, jnp.int32)])
+        jnp.full((E,), -1, jnp.int32),
+        jnp.arange(B, dtype=jnp.int32)])
     dest_block = jnp.where(dest_valid, dest_block, -1)
 
     # compact valid destinations to the front so cost fields cover them:
     # only the first MAX_FIELD_DESTS slots get a [4,H,W] field (the HBM
-    # memory knob for 1024x1024 worlds).
+    # memory knob for 1024x1024 worlds).  Entrances and exits sort ahead
+    # of service cells (concat order is preserved by the stable sort).
+    D_ALL = 2 * B + E
     order = jnp.argsort(~dest_valid, stable=True)
     inv = jnp.argsort(order).astype(jnp.int32)
     dest_pos = dest_pos[order]
@@ -107,6 +118,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     dest_kind = dest_kind[order]
     dest_block = dest_block[order]
     ent_dest_id = jnp.where(ent_valid, inv[:B], -1)
+    svc_dest_id = jnp.where(svc_valid, inv[B + E:], -1)
     hw_pos = jnp.nonzero((cell == C.HIGHWAY_ENTRANCE).reshape(-1),
                          size=caps.max_entrances_hw,
                          fill_value=-1)[0].astype(jnp.int32)
@@ -116,7 +128,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
 
     dest_plane = jnp.full((HW,), -1, jnp.int32).at[
         jnp.where(dest_valid, dest_pos, HW - 1)].set(
-        jnp.where(dest_valid, jnp.arange(B + E, dtype=jnp.int32), -1))
+        jnp.where(dest_valid, jnp.arange(D_ALL, dtype=jnp.int32), -1))
 
     # ---- final planes ------------------------------------------------------
     road_class = _routing_road_class(cfg, cell, lg["orig_type"],
@@ -171,6 +183,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
         inner_count=inner_count,
         entrance=entrance_flat,
         dest=ent_dest_id,
+        service_dest=svc_dest_id,
         food_cap=cfg.FOOD_CAPACITY_PER_CELL * inner_count.astype(jnp.float32),
         waste_cap=cfg.WASTE_CAPACITY_PER_CELL *
         inner_count.astype(jnp.float32),

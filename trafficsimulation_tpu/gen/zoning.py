@@ -252,6 +252,62 @@ def place_entrances(cfg: Config, cell, allowed, block_ids, btype,
     return cell, allowed, entrance_flat
 
 
+def place_service_cells(cell, block_ids, btype, entrance_flat,
+                        max_blocks: int):
+    """Per-block service road cell (`CityBlock.get_service_road_cell`
+    `city_block.py:152-202`): the road cell nearest the entrance that
+    touches the block's sidewalk ring and is not directly in front of
+    the entrance.  Static top-ranked pick (the reference's dynamic
+    parked-vehicle skip is not modeled — parked trucks there become hard
+    obstacles that other traffic overtakes, like the reference).
+
+    Returns service_flat [B] i32 (-1 when the block has none)."""
+    H, W = cell.shape
+    HW = H * W
+
+    ring_block = jnp.full((H, W), -1, jnp.int32)
+    for d in range(4):
+        nb = _shift_from(jnp.where(block_ids >= 0, block_ids, -1), d)
+        ring_block = jnp.maximum(ring_block, nb)
+    ring_block = jnp.where(block_ids >= 0, -1, ring_block)
+    ring_block = jnp.where(cell == C.SIDEWALK, ring_block, -1)
+
+    road_mask = jnp.isin(cell, jnp.array([C.R1, C.R2, C.R3],
+                                         dtype=jnp.uint8))
+    # road cells adjacent to a ring sidewalk of block b
+    cand_block = jnp.full((H, W), -1, jnp.int32)
+    for d in range(4):
+        cand_block = jnp.maximum(cand_block, _shift_from(ring_block, d))
+    cand_block = jnp.where(road_mask, cand_block, -1)
+
+    # exclude cells directly in front of the entrance
+    ent_mask = jnp.zeros((HW,), bool).at[
+        jnp.where(entrance_flat >= 0, entrance_flat, HW - 1)].set(
+        entrance_flat >= 0).reshape(H, W)
+    near_ent = jnp.zeros((H, W), bool)
+    for d in range(4):
+        near_ent = near_ent | _shift_from(ent_mask, d)
+    cand_block = jnp.where(near_ent, -1, cand_block)
+
+    # rank by Manhattan distance to the block's entrance
+    flat = jnp.arange(HW, dtype=jnp.int32)
+    xs = flat % W
+    ys = flat // W
+    cb = cand_block.reshape(-1)
+    safe_b = jnp.clip(cb, 0, max_blocks - 1)
+    e = entrance_flat[safe_b]
+    valid = (cb >= 0) & (e >= 0)
+    dist = jnp.abs(xs - e % W) + jnp.abs(ys - e // W)
+    big = jnp.int32(2**30)
+    seg = jnp.where(valid, safe_b, max_blocks)
+    min_dist = _seg_min(jnp.where(valid, dist, big), seg, max_blocks + 1,
+                        big)
+    at_min = valid & (dist == min_dist[seg])
+    service_flat = _seg_min(jnp.where(at_min, flat, big), seg,
+                            max_blocks + 1, big)[:max_blocks]
+    return jnp.where(service_flat >= big, -1, service_flat)
+
+
 def add_entrance_directions(cell, allowed):
     """Roads adjacent to a BlockEntrance gain an arrow into it; the
     entrance gets the opposite arrows (`city_model.py:1035-1070`)."""

@@ -283,9 +283,13 @@ def step_world(cfg: Config, world: World) -> World:
     finish = servicing & (timer <= 0)
     more = jnp.where(vehicles.kind == KIND_FOOD, vehicles.load > 0,
                      vehicles.load < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
-    # next neediest block (with a routing field)
+    # next neediest block (with a routing field).  Service vehicles head
+    # for the block's service road cell when it has a field, else the
+    # entrance (`get_service_road_cell` `city_block.py:152-202`).
     DF = world.cost_field.shape[0]
-    blk_ok = (bs.dest >= 0) & (bs.dest < DF)
+    svc_target = jnp.where((bs.service_dest >= 0) & (bs.service_dest < DF),
+                           bs.service_dest, bs.dest)
+    blk_ok = (svc_target >= 0) & (svc_target < DF)
     best_food = jnp.argmax(jnp.where(blk_ok, shortage, -1.0))
     best_waste = jnp.argmax(jnp.where(blk_ok, surplus, -1.0))
     has_food_blk = jnp.max(jnp.where(blk_ok, shortage, -1.0)) > 0
@@ -308,7 +312,7 @@ def step_world(cfg: Config, world: World) -> World:
         service_timer=timer,
         parked=vehicles.parked & ~finish,
         service_block=jnp.where(go_again, nxt_blk, vehicles.service_block),
-        dest=jnp.where(go_again, bs.dest[nxt_blk],
+        dest=jnp.where(go_again, svc_target[nxt_blk],
                        jnp.where(go_exit, nearest_exit, vehicles.dest)),
         service_phase=jnp.where(go_again, 0,
                                 jnp.where(go_exit, 2,
@@ -373,7 +377,8 @@ def step_world(cfg: Config, world: World) -> World:
     sp_food_blk = jnp.argmax(jnp.where(blk_ok, shortage2, -1.0))
     sp_waste_blk = jnp.argmax(jnp.where(blk_ok, surplus2, -1.0))
     sp_blk = jnp.where(tkind == KIND_FOOD, sp_food_blk, sp_waste_blk)
-    tdest = jnp.where(tkind <= KIND_THROUGH, dem.dest[j], bs.dest[sp_blk])
+    tdest = jnp.where(tkind <= KIND_THROUGH, dem.dest[j],
+                      svc_target[sp_blk])
 
     sl = jnp.where(place, slots, V)  # V = out of bounds -> dropped
 
@@ -543,14 +548,18 @@ class TrafficSim:
         sb = -1
         if kind >= 2:  # service vehicle: target the neediest block
             bs, bst = w.blocks_static, w.blocks
-            valid = np.asarray(bs.valid) & (np.asarray(bs.dest) >= 0)
+            DF = w.cost_field.shape[0]
+            sd = np.asarray(bs.service_dest)
+            ed = np.asarray(bs.dest)
+            tgt = np.where((sd >= 0) & (sd < DF), sd, ed)
+            valid = np.asarray(bs.valid) & (tgt >= 0) & (tgt < DF)
             if kind == 2:
                 urg = np.asarray(bs.food_cap) - np.asarray(bst.food)
             else:
                 urg = np.asarray(bst.waste)
             urg = np.where(valid, urg, -1)
             sb = int(np.argmax(urg))
-            dest_id = int(np.asarray(bs.dest)[sb])
+            dest_id = int(tgt[sb])
         v = w.vehicles
         idx = jnp.asarray([slot])
         load = (self.cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD if kind == 2 else 0.0)
