@@ -134,13 +134,15 @@ def test_rl_smoke_all_algorithms(small_cfg):
         cfg = small_cfg.replace(TRAFFIC_LIGHT_AGENT_ALGORITHM=algo,
                                 MAX_VEHICLES=128)
         sim = TrafficSim(cfg, seed=0)
+        p0 = jax.tree_util.tree_leaves(sim.world.rl.params)[0].copy()
         sim.step(40)
         w = sim.world
         gv = np.asarray(w.groups_static.valid)
         ph = np.asarray(w.lights.current_phase)
         assert (ph[gv] >= 0).all(), algo
-        # training state advanced
-        assert w.rl is not None
+        # gradient steps actually ran: parameters moved
+        p1 = jax.tree_util.tree_leaves(w.rl.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1)), algo
 
 
 def test_checkpoint_roundtrip(small_cfg, small_world):

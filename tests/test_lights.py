@@ -30,6 +30,8 @@ def make_synthetic():
     group_id = np.full((H, W), -1, np.int32)
     for x, y in INTER_CELLS:
         group_id[y, x] = 0
+        queue_group[y, x] = 0
+        queue_bucket[y, x] = 4   # occupancy bucket (clearance check)
     grid = SimpleNamespace(queue_group=jnp.asarray(queue_group),
                            queue_bucket=jnp.asarray(queue_bucket),
                            group_id=jnp.asarray(group_id),

@@ -276,6 +276,14 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
                 alive = alive & inb & (is_int | same) & in_range
         del mode
 
+    # ---- 6c. intersection cells get bucket-4 labels so the per-tick
+    # clearance check (`is_intersection_occupied`) rides the same
+    # segment-sum as the queues (one scatter instead of two).
+    gp_flat = group_plane.reshape(-1)
+    is_int_cell = gp_flat >= 0
+    queue_group = jnp.where(is_int_cell, gp_flat, queue_group)
+    queue_bucket = jnp.where(is_int_cell, jnp.int8(4), queue_bucket)
+
     # ---- 7. group scalar features (`intersection_light_group.py:155-171`)
     pen_tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
                          cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
@@ -285,10 +293,10 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     type_to_rc = type_to_rc.at[C.R1].set(1).at[C.R2].set(2).at[C.R3].set(3)
     lane_rc = type_to_rc[orig_flat]
     lane_pen = pen_tab[lane_rc]
-    qg = jnp.where(queue_group >= 0, queue_group, G)
-    pen_sum = _seg_sum(jnp.where(queue_group >= 0, lane_pen, 0.0),
-                       qg, G + 1)[:G]
-    pen_cnt = _seg_sum(jnp.where(queue_group >= 0, 1.0, 0.0), qg, G + 1)[:G]
+    is_lane = (queue_group >= 0) & (queue_bucket < 4)
+    qg = jnp.where(is_lane, queue_group, G)
+    pen_sum = _seg_sum(jnp.where(is_lane, lane_pen, 0.0), qg, G + 1)[:G]
+    pen_cnt = _seg_sum(jnp.where(is_lane, 1.0, 0.0), qg, G + 1)[:G]
     penalty_score = jnp.where(pen_cnt > 0, pen_sum / jnp.maximum(pen_cnt, 1),
                               0.0)
     intersection_size = gcount.astype(jnp.float32) / 16.0

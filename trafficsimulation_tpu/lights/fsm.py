@@ -53,28 +53,31 @@ def init_lights_state(cfg: Config, num_groups: int, num_lights: int,
     )
 
 
-def group_queues(grid: Grid, occupancy: jnp.ndarray, num_groups: int):
-    """Per-group (ns_in, ns_out, ew_in, ew_out) occupant counts
-    (`compute_approach_queue` `numba_utilities.py:65-72`)."""
+def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int):
+    """One segment-sum over the label planes yields per-group
+    (ns_in, ns_out, ew_in, ew_out) queue counts AND the intersection
+    occupancy flag (bucket 4) — the njit reducers
+    (`compute_approach_queue` `numba_utilities.py:65-72`) plus
+    `is_intersection_occupied` (`intersection_light_group.py:284-291`)
+    in a single scatter."""
     G = num_groups
     qg = grid.queue_group.reshape(-1)
     qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
-    seg = jnp.where(qg >= 0, qg * 4 + qb, G * 4)
+    seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
     occ = occupancy.reshape(-1).astype(jnp.int32)
-    sums = jnp.zeros((G * 4 + 1,), jnp.int32).at[seg].add(occ)
-    q = sums[:G * 4].reshape(G, 4)
-    return q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT]
+    sums = jnp.zeros((G * 5 + 1,), jnp.int32).at[seg].add(occ)
+    q = sums[:G * 5].reshape(G, 5)
+    return (q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT],
+            q[:, 4] > 0)
+
+
+def group_queues(grid: Grid, occupancy: jnp.ndarray, num_groups: int):
+    return group_reductions(grid, occupancy, num_groups)[:4]
 
 
 def group_occupied(grid: Grid, occupancy: jnp.ndarray,
                    num_groups: int) -> jnp.ndarray:
-    """Any vehicle on a group's intersection cells
-    (`is_intersection_occupied` `intersection_light_group.py:284-291`)."""
-    G = num_groups
-    gid = grid.group_id.reshape(-1)
-    seg = jnp.where(gid >= 0, gid, G)
-    occ = occupancy.reshape(-1)
-    return jnp.zeros((G + 1,), bool).at[seg].max(occ)[:G]
+    return group_reductions(grid, occupancy, num_groups)[4]
 
 
 def _apply_phase(state: LightsState, want, phase) -> LightsState:
@@ -87,8 +90,10 @@ def _apply_phase(state: LightsState, want, phase) -> LightsState:
 
 def run_controllers(cfg: Config, grid: Grid, gs: GroupStatic,
                     state: LightsState, occupancy: jnp.ndarray,
-                    rl_phase_request=None) -> LightsState:
-    """One control decision per group (only where no phase is pending)."""
+                    rl_phase_request=None, reductions=None) -> LightsState:
+    """One control decision per group (only where no phase is pending).
+    `reductions` optionally passes precomputed (ns_in, ns_out, ew_in,
+    ew_out) so the segment-sum is shared with the clearance check."""
     algo = cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM
     G = gs.valid.shape[0]
     active = gs.valid & (state.pending_phase == -1)
@@ -106,7 +111,9 @@ def run_controllers(cfg: Config, grid: Grid, gs: GroupStatic,
             ft_phase=jnp.where(flip, 1 - state.ft_phase, state.ft_phase),
             fixed_time_timer=jnp.where(flip, 0, state.fixed_time_timer))
 
-    ns_in, ns_out, ew_in, ew_out = group_queues(grid, occupancy, G)
+    if reductions is None:
+        reductions = group_queues(grid, occupancy, G)
+    ns_in, ns_out, ew_in, ew_out = reductions
 
     if algo == "QUEUE_ACTUATED":
         timer = jnp.where(active, state.queue_timer + 1, state.queue_timer)

@@ -27,10 +27,10 @@ def group_flows(grid: Grid, flow_map: jnp.ndarray, num_groups: int):
     G = num_groups
     qg = grid.queue_group.reshape(-1)
     qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
-    seg = jnp.where(qg >= 0, qg * 4 + qb, G * 4)
+    seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
     vals = flow_map.reshape(-1).astype(jnp.float32)
-    sums = jnp.zeros((G * 4 + 1,), jnp.float32).at[seg].add(vals)
-    q = sums[:G * 4].reshape(G, 4)
+    sums = jnp.zeros((G * 5 + 1,), jnp.float32).at[seg].add(vals)
+    q = sums[:G * 5].reshape(G, 5)
     return q[:, NS_IN], q[:, EW_IN]
 
 

@@ -186,13 +186,14 @@ def step_world(cfg: Config, world: World) -> World:
             occupancy, world.stuck_map, trip_penalty, k_rl)
         world = world.replace(lights=lights_rl)
         rl_request = (want, phase_req)
+    red = fsm.group_reductions(grid, occupancy, caps.max_groups)
     lights = fsm.run_controllers(cfg, grid, world.groups_static,
                                  world.lights, occupancy,
-                                 rl_phase_request=rl_request)
-    occ_groups = fsm.group_occupied(grid, occupancy, caps.max_groups)
+                                 rl_phase_request=rl_request,
+                                 reductions=red[:4])
     lights = fsm.execute_phase_change(cfg, world.lights_static,
                                       world.groups_static, lights,
-                                      occ_groups)
+                                      red[4])
     lights = fsm.apply_light_overrides(lights, world.overrides.light_force)
     stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
 
