@@ -274,11 +274,19 @@ class Config:
     GAT_TRAFFIC_RL_MIN_GREEN: int = 5
 
     # pathfinding ---------------------------------------------------------------
-    PATHFINDING_METHOD: str = "FIELD"   # "FIELD" (on-device), "CPP" (host A*)
+    # PATHFINDING_METHOD selects the routing backend: "FIELD" = on-device
+    # cost fields (the TPU-native planner), "CPP" = the native host A*
+    # (`native/astar.py`) for CPU-only tooling.  COOLDOWN/CACHE/BATCHING
+    # are accepted for API compatibility: the field router effectively
+    # replans every tick (no cooldown needed), fields ARE the cache, and
+    # decide is always batched.
+    PATHFINDING_METHOD: str = "FIELD"
     PATHFINDING_COOLDOWN: int = 5
     PATHFINDING_CACHE: bool = True
     PATHFINDING_BATCHING: bool = True
-    # TPU addition: dynamic-cost field refresh cadence (ticks)
+    # TPU addition (reserved): cadence for refreshing cost fields with
+    # dynamic penalties folded in; the current router applies dynamic
+    # penalties at step-choice time instead (see ops/routing.py)
     FIELD_REFRESH_INTERVAL: int = 16
     # TPU addition: days of demand pre-generated into the device trip
     # table.  In-step regeneration would execute on every tick under
