@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from trafficsimulation_tpu.config import Config
-from trafficsimulation_tpu.sim import init_world, run_chunk
+from trafficsimulation_tpu.sim import init_world, run_chunk, \
+    measure_and_shrink
 
 H = W = 256
 N_VEHICLES = 10_000
@@ -38,11 +39,11 @@ BATCH = 16
 def inject_vehicles(cfg, world, n, seed=0):
     """Synthetic dense load: n vehicles on random reachable road cells."""
     rng = np.random.default_rng(seed)
-    field = np.asarray(world.cost_field.min(axis=1))      # [D, H, W]
+    field = np.asarray(world.cost_field.min(axis=1))      # u16 [D, H, W]
     DF = field.shape[0]
     dvalid = np.asarray(world.dests.valid)[:DF]
     dids = np.nonzero(dvalid)[0]
-    reach = (field[dids[0]] < 1e8).reshape(-1)
+    reach = (field[dids[0]] < 65535).reshape(-1)
     road = np.asarray(world.grid.is_road).reshape(-1)
     occ_ok = np.asarray(world.veh_map).reshape(-1) < 0
     cells = np.nonzero(reach & road & occ_ok)[0]
@@ -73,6 +74,14 @@ def main():
     key = jax.random.PRNGKey(0)
 
     world = jax.jit(functools.partial(init_world, cfg))(key)
+    # measured capacities: every padded-table op (scatters, dest gathers)
+    # shrinks to what this world actually contains
+    cfg, world = measure_and_shrink(cfg, world)
+    n_dests = int(np.asarray(world.dests.valid).sum())
+    bs = world.blocks_static
+    unroutable = int((np.asarray(bs.valid) & (
+        (np.asarray(bs.dest) < 0) |
+        (np.asarray(bs.dest) >= world.cost_field.shape[0]))).sum())
     world = inject_vehicles(cfg, world, N_VEHICLES)
     world = jax.block_until_ready(world)
 
@@ -120,6 +129,8 @@ def main():
             "batched_cell_updates_per_sec": round(cups, 1) if batch_ok
             else None,
             "active_vehicles": active,
+            "n_dests": n_dests,
+            "blocks_unroutable_no_field": unroutable,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -35,7 +35,13 @@ def test_road_cells_have_valid_directions(small_city):
     road = np.isin(ct, [C.R1, C.R2, C.R3, C.CONTROLLED_ROAD])
     # every plain road cell has at least one arrow
     assert (dirs[road] != 0).all()
-    # arrows from road cells always land on road-like cells in bounds
+    # arrows from road cells land on road-like cells — except band-end
+    # stubs, where a lane may run into its sidewalk edging.  The
+    # reference produces the same stubs when `_force_one_highway`
+    # removes a ring band whose span overlaps the new R1's exclusion
+    # range (`city_model.py:1221-1231`); the router never takes such an
+    # arrow (the cost field is INF on non-road cells).  Arrows must
+    # never point at walls or zone interiors.
     H, W = ct.shape
     road_like = np.isin(ct, list(C.ROAD_LIKE))
     for d, (dy, dx) in enumerate(zip(C.DIR_DY, C.DIR_DX)):
@@ -45,7 +51,8 @@ def test_road_cells_have_valid_directions(small_city):
         inb = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
         # boundary entrance/exit arrows may leave the map; plain roads not
         assert inb.all()
-        assert road_like[ny[inb], nx[inb]].all()
+        tgt = ct[ny[inb], nx[inb]]
+        assert (road_like[ny[inb], nx[inb]] | (tgt == C.SIDEWALK)).all()
 
 
 def test_dead_end_two_core(small_city):

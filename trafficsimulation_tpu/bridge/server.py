@@ -64,6 +64,16 @@ class BridgeState:
         valid = np.asarray(ls.valid)
         return np.nonzero(valid & (group == group_id))[0]
 
+    def axis_lights(self, group_id: int, axis: int):
+        """The group's opposite-axis light list: its own lights whose
+        controlled lanes flow along `axis` (0 = N-S, 1 = W-E) into the
+        intersection — reference `opposite_pairs`
+        (`intersection_light_group.py:243-279`)."""
+        ls = self.sim.world.lights_static
+        sel = (np.asarray(ls.valid) & (np.asarray(ls.group) == group_id)
+               & (np.asarray(ls.axis) == axis))
+        return np.nonzero(sel)[0]
+
     def flush_into_world(self):
         """Apply accumulated overrides to the device world (called by the
         sim loop between scan segments)."""
@@ -100,9 +110,19 @@ def make_app(bridge: BridgeState):
             elif kind == "set_traffic_light":
                 lid = int(self.get_argument("id"))
                 bridge.force_lights(np.array([lid]), stop)
-            elif kind in ("set_intersection", "set_intersection_opposites"):
+            elif kind == "set_intersection":
                 gid = int(self.get_argument("group"))
                 bridge.force_lights(bridge.group_lights(gid), stop)
+            elif kind == "set_intersection_opposites":
+                # reference semantics (`traffic_light_control.py:300-340`):
+                # act on the group's axis light pair, not the whole group
+                gid = int(self.get_argument("group"))
+                ax = self.get_argument("axis", "N-S")
+                axis = 0 if str(ax).upper() in ("N-S", "NS", "0") else 1
+                ids = bridge.axis_lights(gid, axis)
+                if len(ids) == 0:
+                    return _json(self, {"error": "no axis lights"}, 404)
+                bridge.force_lights(ids, stop)
             elif kind in ("set_intersection_neighbors",
                           "set_intersection_neighbors_intermediate"):
                 gid = int(self.get_argument("group"))
@@ -126,7 +146,17 @@ def make_app(bridge: BridgeState):
         def post(self):
             start = int(self.get_argument("start"))
             dest = int(self.get_argument("dest"))
-            vm = np.asarray(sim.world.veh_map).reshape(-1)
+            w = sim.world
+            road = np.asarray(w.grid.is_road).reshape(-1)
+            if not (0 <= start < road.shape[0]) or not road[start]:
+                # the reference only offers valid spawn cells in its
+                # selection lists (`vehicle_control.py:229-240`)
+                return _json(self, {"error": "start is not a road cell"},
+                             404)
+            if not (0 <= dest < w.cost_field.shape[0]) or \
+                    not bool(np.asarray(w.dests.valid)[dest]):
+                return _json(self, {"error": "bad destination id"}, 404)
+            vm = np.asarray(w.veh_map).reshape(-1)
             if vm[start] >= 0:
                 return _json(self, {"error": "cell occupied"}, 409)
             ok = sim.spawn_vehicle(start, dest)

@@ -346,6 +346,12 @@ class Config:
     # TPU capacity overrides (0 → derive from grid size)
     MAX_VEHICLES: int = 0
     MAX_TRIPS: int = 0
+    # Measured-capacity overrides: ((capacity_name, value), ...) applied
+    # on top of the conservative worst-case bounds in `capacities()`.
+    # Scatter/gather cost on TPU is priced by *padded* table size, so
+    # `sim.measure_and_shrink` re-derives these from an actually
+    # generated world (pow2-rounded) and re-jits the step 3-7x smaller.
+    CAP_OVERRIDES: Tuple[Tuple[str, int], ...] = ()
 
     # ------------------------------------------------------------------
     # Derived helpers (plain python — static under jit)
@@ -459,6 +465,16 @@ class Config:
             self.INTERNAL_POPULATION_TRAFFIC_PER_DAY
             + self.PASSING_POPULATION_TRAFFIC_PER_DAY + service + 64)
         max_exits = 4 * self.MIN_R1_BANDS * self.ROAD_THICKNESS_R1 + 32
+        caps = self._base_capacities(max_bands, max_groups, max_lights,
+                                     max_blocks, max_vehicles, max_trips,
+                                     max_exits)
+        if self.CAP_OVERRIDES:
+            caps = dataclasses.replace(caps, **dict(self.CAP_OVERRIDES))
+        return caps
+
+    def _base_capacities(self, max_bands, max_groups, max_lights,
+                         max_blocks, max_vehicles, max_trips,
+                         max_exits) -> Capacities:
         return Capacities(
             max_bands=max_bands,
             max_lights=max_lights,

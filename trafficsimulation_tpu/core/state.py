@@ -215,7 +215,10 @@ class World:
     groups_static: GroupStatic
     blocks_static: BlockStatic
     dests: DestStatic
-    cost_field: jnp.ndarray     # [D, 4, H, W] routing cost-to-go per heading
+    cost_field: jnp.ndarray     # u16 [D, 4, H, W] fixed-point (x2) routing
+    #                             cost-to-go per heading (65535 unreachable)
+    nearest_exit: jnp.ndarray   # i32 [D] nearest highway-exit dest id as
+    #                             seen from each destination cell
     # dynamic planes
     veh_map: jnp.ndarray        # i32 [H, W] vehicle index or -1
     stop_map: jnp.ndarray       # bool [H, W]

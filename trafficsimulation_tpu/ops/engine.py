@@ -1,0 +1,980 @@
+"""Plane-CA simulation engine: vehicles as packed grid planes.
+
+This is the production tick.  Round 1 kept vehicles as a struct-of-arrays
+pool ([V] tables) and paid ~15-19 cycles/element for every per-vehicle
+gather/scatter — the measured bottleneck (NOTES.md).  Here the vehicle
+state lives ON the lattice as packed u32 planes and every step of the
+reference semantics (`vehicle_base.py:616-753`) becomes [H, W] vector
+math on the VPU:
+
+  * decide  = element-wise plane ops (faults, speed, halting),
+  * routing = one u8 next-move plane selected per destination row from a
+    fixed-point cost-field stack (no per-vehicle gathers),
+  * movement = VEHICLE_MAX_SPEED sub-rounds of masked shifts with
+    random-priority conflict resolution via shifted key planes — the CA
+    two-phase commit of SURVEY §7.3(2) with zero scatter/gather,
+  * arrivals/service/spawns touch only the (few, static) destination
+    cells and the (small) per-tick spawn window.
+
+Semantics match the reference's batched-decide mode
+(`PATHFINDING_BATCHING`, `city_model.py:1811-1829, 1855-1858`): all
+decisions read start-of-tick maps, movement re-validates live occupancy
+per sub-round, conflicts resolve by deterministic random priority.
+
+The struct-of-arrays `Vehicles` pool remains the public World API; the
+lossless pack/unpack at scan boundaries is in `world_to_planes` /
+`planes_to_vehicles` (slot identity is carried through the planes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import codes as C
+from ..config import Config
+from ..core.state import Vehicles
+from .routing import _shift_plane as nbr  # value at the d-neighbor
+from . import routing
+
+# ---------------------------------------------------------------------------
+# Plane bit layouts
+# ---------------------------------------------------------------------------
+# pa (u32): vehicle core
+PA_PRESENT = 1  # plain python ints: module may be imported anywhere
+PA_KIND_SH = 1          # 2 bits: 0 internal, 1 through, 2 food, 3 waste
+PA_HEAD_SH = 3          # 3 bits: heading + 1 (0 = unknown)
+PA_BASE_SH = 6          # 4 bits: base cruising speed
+PA_CUR_SH = 10          # 4 bits: current speed
+PA_PARKED_SH = 14
+PA_COL_SH = 15
+PA_MAL_SH = 16
+PA_STUCKF_SH = 17
+PA_DEST_SH = 18         # 14 bits: destination id (16383 = none)
+DEST_NONE = 16383
+
+# pb (u32): timers
+PB_STUCK_SH = 0         # 12 bits (saturating; thresholds are <= 3600)
+PB_STRAND_SH = 12       # 12 bits
+PB_CONTRA_SH = 24       # 8 bits
+
+# pc (u32): trip bookkeeping
+PC_DEPART_SH = 0        # 20 bits: departure tick
+PC_STEPS_SH = 20        # 12 bits: steps traveled (saturating)
+
+# pd (u32): service FSM + contraflow excursion bookkeeping
+PD_PHASE_SH = 0         # 2 bits
+PD_TIMER_SH = 2         # 8 bits
+PD_BLOCK_SH = 10        # 16 bits (65535 = none)
+PD_CFMODE_SH = 26       # 1 bit: 0 = overtake, 1 = stuck detour
+PD_CFSTEPS_SH = 27      # 5 bits: contraflow cells taken this excursion
+SVC_BLOCK_NONE = 65535
+
+INF_U16 = 65535         # unreachable in the fixed-point cost field
+BIG = 1 << 29
+KEY_INF = 0xFFFFFFFF
+
+KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _bit(p, sh):
+    return ((p >> sh) & 1).astype(bool)
+
+
+def _fld(p, sh, bits):
+    return ((p >> sh) & ((1 << bits) - 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point cost fields
+# ---------------------------------------------------------------------------
+
+def field_to_u16(F: jnp.ndarray) -> jnp.ndarray:
+    """f32 cost field -> u16 fixed point (x2; all reference costs are
+    multiples of 0.5, `astar_numba.py:11-24`).  65535 = unreachable;
+    reachable values saturate at 65534."""
+    v = jnp.clip(jnp.round(F * 2.0), 0, 65534).astype(jnp.uint16)
+    return jnp.where(F >= routing.INF, jnp.uint16(INF_U16), v)
+
+
+def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
+               is_road: jnp.ndarray, enter2: jnp.ndarray,
+               hard: jnp.ndarray) -> jnp.ndarray:
+    """Per-destination next-move byte plane u8 [D, H, W].
+
+    Encoding: bits 0-2 best move direction (7 = no move), bit 3 = best
+    move is contraflow, bits 4-7 = heading h may continue straight
+    instead (within TURN_PENALTY of best; straight bits are only set for
+    *legal* moves).  This is the compact form of round-1's
+    `next_dir_planes` [D, 5, H, W] (`ops/routing.py`): the per-heading
+    slots collapse into the straight-ok bits, cutting the per-tick plane
+    traffic 5x — the fix for VERDICT r1 weak #1 (batched worlds were
+    HBM-bound on the plane rebuild).
+
+    enter2: i32 [H, W] = round(2 * (1 + road_penalty + soft dynamic
+    costs)) of the cell being entered; hard: impassable cells
+    (stranded/parked occupants — the reference's strict phase-1 hard
+    obstacles, `vehicle_base.py:280-291`).
+    """
+    D = F_u16.shape[0]
+    H, W = allowed.shape
+    tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
+                    if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
+    cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
+
+    legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
+    # additive entry cost per move direction (u16-saturated; BIG when the
+    # target is blocked).  Shifted once, reused across all destinations.
+    pen_m = []
+    for m in range(4):
+        en = nbr(enter2, m, jnp.int32(60000))
+        hd = nbr(hard, m, True)
+        rd = nbr(is_road, m, False)
+        ok = (legal[m] | rd) & ~hd
+        pen = en + jnp.where(legal[m], 0, cp2)
+        pen_m.append(jnp.where(ok, jnp.minimum(pen, 60000),
+                               jnp.int32(1 << 17)).astype(jnp.int32))
+
+    def block(rows):
+        """Encode a [DB, 4, H, W] block of field rows (vectorized over
+        destinations; a few fat ops instead of D tiny loop iterations —
+        lax loop iterations cost ~microseconds of dispatch each)."""
+        cands = []
+        for m in range(4):
+            fn = nbr(rows[:, m], m, jnp.uint16(INF_U16)).astype(jnp.int32)
+            c = jnp.where(fn >= INF_U16, BIG, fn + pen_m[m][None])
+            cands.append(jnp.minimum(c, BIG))
+        best01 = jnp.minimum(cands[0], cands[1])
+        best23 = jnp.minimum(cands[2], cands[3])
+        best = jnp.minimum(best01, best23)
+        arg = jnp.where(
+            best01 <= best23,
+            jnp.where(cands[0] <= cands[1], 0, 1),
+            jnp.where(cands[2] <= cands[3], 2, 3)).astype(jnp.uint8)
+        none = best >= BIG
+        contra = ~(jnp.where(arg == 0, legal[0][None],
+                   jnp.where(arg == 1, legal[1][None],
+                   jnp.where(arg == 2, legal[2][None], legal[3][None]))))
+        enc = arg | (contra.astype(jnp.uint8) << 3)
+        for h in range(4):
+            sraw = jnp.where(legal[h][None], cands[h], BIG)
+            ok_h = (sraw <= best + tp2) & (sraw < BIG)
+            enc = enc | (ok_h.astype(jnp.uint8) << (4 + h))
+        return jnp.where(none, jnp.uint8(7), enc)
+
+    # block over destinations: vector-wide math, bounded transients
+    # (a [DB, 4, H, W] slice copy stays ~8 MB so vmapped world batches
+    # don't blow HBM)
+    DB = min(D, max(8, 16 * max(1, 65536 // (H * W))))
+    if D % DB != 0:
+        DB = D  # uneven D: single block
+    nblk = D // DB
+    if nblk <= 1:
+        return block(F_u16)
+
+    def body(i, out):
+        rows = jax.lax.dynamic_slice_in_dim(F_u16, i * DB, DB, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, block(rows), i * DB, axis=0)
+
+    return jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((D, H, W), jnp.uint8))
+
+
+def select_dest_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+    """nd[y, x] = sdir[dest[y, x], y, x] as one masked reduction over the
+    destination axis (TPU random gathers cost ~19 cycles/element; a
+    fused D-wide masked max reads sdir once at vector bandwidth)."""
+    D = sdir.shape[0]
+    ids = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    hit = dest[None] == ids
+    sel = jnp.max(jnp.where(hit, sdir, jnp.uint8(0)), axis=0)
+    any_hit = jnp.any(hit, axis=0)
+    return jnp.where(any_hit, sel, jnp.uint8(7))
+
+
+def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray):
+    """Per-cell move direction from the sdir byte and heading (+1).
+    Returns (dir [H,W] i32 with 7 = none, contra bool)."""
+    h = jnp.maximum(head1 - 1, 0)
+    sok = ((nd.astype(jnp.int32) >> (4 + h)) & 1) == 1
+    sok = sok & (head1 > 0)
+    bestdir = (nd & 7).astype(jnp.int32)
+    d = jnp.where(sok, h, bestdir)
+    contra = jnp.where(sok, False, (nd & 8) != 0)
+    return d, contra
+
+
+# ---------------------------------------------------------------------------
+# SoA <-> planes conversion (lossless; once per scan segment)
+# ---------------------------------------------------------------------------
+
+def vehicles_to_planes(cfg: Config, v: Vehicles, H: int, W: int):
+    """Pack the vehicle pool onto the lattice.  Returns the 6 planes
+    (pa..pe u32, pl f32) and the [V] slot-used mask."""
+    HW = H * W
+    V = v.active.shape[0]
+    pos = jnp.where(v.active, jnp.clip(v.pos, 0, HW - 1), HW)
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+
+    dest = jnp.where(v.dest >= 0, jnp.minimum(v.dest, DEST_NONE - 1),
+                     DEST_NONE)
+    pa_v = (jnp.uint32(1)
+            | (_u32(v.kind) << PA_KIND_SH)
+            | (_u32(jnp.clip(v.heading + 1, 0, 7)) << PA_HEAD_SH)
+            | (_u32(jnp.clip(v.base_speed, 0, 15)) << PA_BASE_SH)
+            | (_u32(jnp.clip(v.current_speed, 0, 15)) << PA_CUR_SH)
+            | (_u32(v.parked) << PA_PARKED_SH)
+            | (_u32(v.in_collision) << PA_COL_SH)
+            | (_u32(v.in_malfunction) << PA_MAL_SH)
+            | (_u32(v.is_stuck) << PA_STUCKF_SH)
+            | (_u32(dest) << PA_DEST_SH))
+    pb_v = (_u32(jnp.clip(v.stuck_ticks, 0, 4095))
+            | (_u32(jnp.clip(v.stranded_ticks, 0, 4095)) << PB_STRAND_SH)
+            | (_u32(jnp.clip(v.contraflow_ticks, 0, 255)) << PB_CONTRA_SH))
+    depart_tick = jnp.clip(jnp.round(v.depart_time / dt), 0,
+                           (1 << 20) - 1).astype(jnp.int32)
+    pc_v = (_u32(depart_tick)
+            | (_u32(jnp.clip(v.steps_traveled, 0, 4095)) << PC_STEPS_SH))
+    sb = jnp.where(v.service_block >= 0,
+                   jnp.minimum(v.service_block, SVC_BLOCK_NONE - 1),
+                   SVC_BLOCK_NONE)
+    pd_v = (_u32(v.service_phase)
+            | (_u32(jnp.clip(v.service_timer, 0, 255)) << PD_TIMER_SH)
+            | (_u32(sb) << PD_BLOCK_SH))
+    pe_v = _u32(jnp.arange(V))
+
+    def scat(vals, dtype):
+        z = jnp.zeros((HW + 1,), dtype)
+        return z.at[pos].set(jnp.where(v.active, vals,
+                                       jnp.zeros((), dtype)))[:HW]
+
+    pa = scat(pa_v, jnp.uint32).reshape(H, W)
+    pb = scat(pb_v, jnp.uint32).reshape(H, W)
+    pc = scat(pc_v, jnp.uint32).reshape(H, W)
+    pd = scat(pd_v, jnp.uint32).reshape(H, W)
+    pe = scat(pe_v, jnp.uint32).reshape(H, W)
+    pl = scat(v.load, jnp.float32).reshape(H, W)
+    return (pa, pb, pc, pd, pe, pl), v.active
+
+
+def planes_to_vehicles(cfg: Config, planes, V: int):
+    """Unpack the lattice back into the SoA pool.  Inactive slots get
+    pool defaults (matching `_despawn` semantics)."""
+    pa, pb, pc, pd, pe, pl = planes
+    H, W = pa.shape
+    HW = H * W
+    paf = pa.reshape(-1)
+    present = (paf & 1) == 1
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+
+    # non-present cells all write the scratch row V (sliced off below)
+    slot = jnp.where(present, pe.reshape(-1).astype(jnp.int32), V)
+    cell = jnp.arange(HW, dtype=jnp.int32)
+
+    zi = jnp.zeros((V + 1,), jnp.int32)
+    ni = jnp.full((V + 1,), -1, jnp.int32)
+    zb = jnp.zeros((V + 1,), bool)
+    zf = jnp.zeros((V + 1,), jnp.float32)
+
+    def put(vals, z):
+        return z.at[jnp.clip(slot, 0, V)].set(vals.astype(z.dtype))[:V]
+
+    dest = _fld(paf, PA_DEST_SH, 14)
+    sb = _fld(pd.reshape(-1), PD_BLOCK_SH, 16)
+    return Vehicles(
+        active=put(present, zb),
+        pos=put(cell, ni),
+        heading=put(_fld(paf, PA_HEAD_SH, 3) - 1, ni),
+        dest=put(jnp.where(dest == DEST_NONE, -1, dest), ni),
+        base_speed=put(_fld(paf, PA_BASE_SH, 4), zi),
+        current_speed=put(_fld(paf, PA_CUR_SH, 4), zi),
+        stuck_ticks=put(_fld(pb.reshape(-1), PB_STUCK_SH, 12), zi),
+        is_stuck=put(_bit(paf, PA_STUCKF_SH), zb),
+        stranded_ticks=put(_fld(pb.reshape(-1), PB_STRAND_SH, 12), zi),
+        parked=put(_bit(paf, PA_PARKED_SH), zb),
+        in_collision=put(_bit(paf, PA_COL_SH), zb),
+        in_malfunction=put(_bit(paf, PA_MAL_SH), zb),
+        contraflow_ticks=put(_fld(pb.reshape(-1), PB_CONTRA_SH, 8), zi),
+        kind=put(_fld(paf, PA_KIND_SH, 2), jnp.zeros((V + 1,), jnp.uint8)),
+        depart_time=put(_fld(pc.reshape(-1), PC_DEPART_SH, 20).astype(
+            jnp.float32) * dt, zf),
+        steps_traveled=put(_fld(pc.reshape(-1), PC_STEPS_SH, 12), zi),
+        service_phase=put(_fld(pd.reshape(-1), PD_PHASE_SH, 2),
+                          jnp.zeros((V + 1,), jnp.uint8)),
+        load=put(pl.reshape(-1), zf),
+        service_timer=put(_fld(pd.reshape(-1), PD_TIMER_SH, 8), zi),
+        service_block=put(jnp.where(sb == SVC_BLOCK_NONE, -1, sb), ni),
+    )
+
+
+def planes_to_maps(planes, V: int):
+    """Derive veh_map (slot or -1) and stuck_map from the planes."""
+    pa, pb, _, _, pe, _ = planes
+    present = (pa & 1) == 1
+    veh_map = jnp.where(present,
+                        jnp.clip(pe.astype(jnp.int32), 0, V - 1), -1)
+    stuck_map = jnp.where(present, _fld(pb, PB_STUCK_SH, 12), 0)
+    return veh_map, stuck_map
+
+
+# ---------------------------------------------------------------------------
+# Engine state (scan carry) and the fused tick
+# ---------------------------------------------------------------------------
+
+from typing import Any  # noqa: E402
+from flax import struct  # noqa: E402
+
+from ..lights import fsm  # noqa: E402
+from .density import density_map  # noqa: E402
+from ..agents.blocks import (step_blocks, food_shortage,  # noqa: E402
+                             waste_surplus)
+from ..agents.rain import step_rain  # noqa: E402
+from ..core.state import Overrides  # noqa: E402
+
+
+@struct.dataclass
+class EngineState:
+    """Dynamic state advanced by `step_engine` (the scan carry).  Static
+    world structure (grid, light/group/block/dest tables, cost fields)
+    rides alongside as the enclosing `World`."""
+    pa: jnp.ndarray   # u32 [H, W] vehicle core (see bit layout above)
+    pb: jnp.ndarray   # u32 [H, W] timers
+    pc: jnp.ndarray   # u32 [H, W] trip bookkeeping
+    pd: jnp.ndarray   # u32 [H, W] service FSM
+    pe: jnp.ndarray   # u32 [H, W] SoA slot id
+    pl: jnp.ndarray   # f32 [H, W] service load
+    slot_used: jnp.ndarray   # bool [V] pool slots in use
+    stop_map: jnp.ndarray
+    rain_map: jnp.ndarray
+    density: jnp.ndarray
+    ped_map: jnp.ndarray
+    lights: Any
+    blocks: Any
+    rain: Any
+    demand: Any
+    metrics: Any
+    overrides: Any
+    peds: Any
+    tick: jnp.ndarray
+    elapsed: jnp.ndarray
+    key: jnp.ndarray
+    rl: Any = None
+
+
+def _sat_add1(field_i32, cap):
+    return jnp.minimum(field_i32 + 1, cap)
+
+
+def step_engine(cfg: Config, world, es: EngineState) -> EngineState:
+    """One simulation tick on the plane representation.  Mirrors the
+    reference tick order (`CityModel.step` `city_model.py:1831-1860`) —
+    see module docstring for the semantics mapping."""
+    caps = cfg.capacities()
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    V = caps.max_vehicles
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+    grid = world.grid
+    dests = world.dests
+    bs = world.blocks_static
+
+    key, k_mal, k_side, k_speed, k_prio, k_rain = jax.random.split(
+        es.key, 6)
+    tick = es.tick
+    elapsed = es.elapsed + dt
+
+    pa, pb, pc, pd, pe, pl = es.pa, es.pb, es.pc, es.pd, es.pe, es.pl
+    present = (pa & 1) == 1
+    occupancy = present
+
+    # ---- 1. density ------------------------------------------------------
+    density = density_map(present, grid.is_road, cfg.VEHICLE_AWARENESS_RANGE)
+
+    # ---- 2. lights (commit first so decide reads the fresh stop map) ----
+    stuck_map = jnp.where(present, _fld(pb, PB_STUCK_SH, 12), 0)
+    rl_state = es.rl
+    rl_request = None
+    lights = es.lights
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in fsm.RL_ALGOS:
+        from ..rl.controllers import rl_controller_step
+        key, k_rl = jax.random.split(key)
+        m0 = es.metrics
+        avg_dur = 0.5 * (
+            m0.sum_duration_internal / jnp.maximum(m0.completed_internal, 1)
+            + m0.sum_duration_through / jnp.maximum(m0.completed_through, 1))
+        avg_tpc = 0.5 * (
+            m0.sum_duration_internal / jnp.maximum(m0.sum_steps_internal, 1)
+            + m0.sum_duration_through / jnp.maximum(m0.sum_steps_through, 1))
+        trip_penalty = 0.01 * avg_dur + 1.0 * avg_tpc
+        rl_state, lights, want, phase_req = rl_controller_step(
+            cfg, rl_state, grid, world.groups_static, lights,
+            occupancy, stuck_map, trip_penalty, k_rl)
+        rl_request = (want, phase_req)
+    red = fsm.group_reductions(grid, occupancy, caps.max_groups)
+    lights = fsm.run_controllers(cfg, grid, world.groups_static, lights,
+                                 occupancy, rl_phase_request=rl_request,
+                                 reductions=red[:4])
+    lights = fsm.execute_phase_change(cfg, world.lights_static,
+                                      world.groups_static, lights, red[4])
+    lights = fsm.apply_light_overrides(lights, es.overrides.light_force)
+    stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
+
+    # ---- 2b. pedestrians (config #3 extension) ---------------------------
+    peds, ped_map = es.peds, es.ped_map
+    ped_plane = None
+    if cfg.PEDESTRIANS_ENABLED:
+        from ..agents.pedestrians import step_pedestrians
+        key, k_ped = jax.random.split(key)
+        peds, ped_block, ped_count = step_pedestrians(
+            cfg, H, W, peds, grid.cell_type.reshape(-1),
+            stop_map.reshape(-1), world.ped_spawn_cells, k_ped)
+        ped_map = ped_count.reshape(H, W)
+        ped_plane = ped_block.reshape(H, W)
+
+    # ---- 3. decide (`step_decide` `vehicle_base.py:616-663`) -------------
+    col0 = _bit(pa, PA_COL_SH)
+    mal0 = _bit(pa, PA_MAL_SH)
+    parked = _bit(pa, PA_PARKED_SH)
+    stuckf = _bit(pa, PA_STUCKF_SH)
+    head1 = _fld(pa, PA_HEAD_SH, 3)
+    cur0 = _fld(pa, PA_CUR_SH, 4)
+
+    # stranded ticking (`_tick_stranded` `vehicle_base.py:552-566`)
+    stranded0 = col0 | mal0
+    st = _fld(pb, PB_STRAND_SH, 12)
+    st = jnp.where(present & stranded0, st - 1, st)
+    recovered = present & stranded0 & (st <= 0)
+    col = col0 & ~recovered
+    mal = mal0 & ~recovered
+    st = jnp.where(recovered, 0, st)
+    still_stranded = present & (col | mal)
+
+    # malfunction roll (intended semantics of `vehicle_base.py:608-610`)
+    if cfg.VEHICLE_MALFUNCTION_ACTIVE:
+        roll = jax.random.uniform(k_mal, (H, W)) < \
+            cfg.VEHICLE_MALFUNCTION_CHANCE
+        new_mal = present & ~still_stranded & ~parked & roll
+        mal = mal | new_mal
+        st = jnp.where(new_mal, cfg.VEHICLE_MALFUNCTION_DURATION, st)
+        still_stranded = still_stranded | new_mal
+    else:
+        new_mal = jnp.zeros((H, W), bool)
+
+    # sideswipe roll (`_check_sideswipe_collision` `vehicle_base.py:567-605`)
+    new_col = jnp.zeros((H, W), bool)
+    if cfg.VEHICLE_SIDESWIPE_COLLISION_ACTIVE:
+        moving_nb = present & (cur0 > 0) & ~stuckf & ~parked & ~col0 & ~mal0
+        hk = jnp.maximum(head1 - 1, 0)
+        opp1 = ((hk + 2) % 4) + 1
+        side_hit = jnp.zeros((H, W), bool)
+        for m in range(4):
+            nb_mov = nbr(moving_nb, m, False)
+            nb_head = nbr(head1, m, 0)
+            rel = (m - hk) % 4
+            perp = (rel == 1) | (rel == 3)
+            side_hit = side_hit | (nb_mov & (nb_head == opp1) & perp)
+        moving = present & (cur0 > 0) & ~stuckf & ~parked & ~still_stranded
+        roll = jax.random.uniform(k_side, (H, W)) < \
+            cfg.VEHICLE_SIDESWIPE_COLLISION_CHANCE
+        new_col = moving & (head1 > 0) & side_hit & roll
+        col = col | new_col
+        st = jnp.where(new_col, cfg.VEHICLE_SIDESWIPE_COLLISION_DURATION, st)
+        still_stranded = still_stranded | new_col
+
+    # red light / parked: full stop (`vehicle_base.py:639-643`)
+    halted = still_stranded | (present & stop_map) | parked
+
+    # speed (`_compute_speed` `vehicle_base.py:94-107`)
+    base = _fld(pa, PA_BASE_SH, 4)
+    reroll = jax.random.randint(k_speed, (H, W), cfg.VEHICLE_MIN_SPEED,
+                                cfg.VEHICLE_MAX_SPEED + 1)
+    base = jnp.where(present & (base == 0), reroll, base)
+    speed = base
+    if cfg.RAIN_ENABLED:
+        speed = jnp.where(es.rain_map,
+                          jnp.maximum(1, speed - cfg.RAIN_SPEED_REDUCTION),
+                          speed)
+    speed = jnp.where(halted, 0, speed)
+    base = jnp.where(halted, 0, base)
+
+    # dynamic routing costs (`dynamic_soft_costs` cost model)
+    stranded_occ = present & (col0 | mal0 | parked)
+    occ_moving = present & ~stranded_occ
+    if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
+        vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
+            1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density)
+    else:
+        vp = jnp.full((H, W), cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
+    soft = jnp.where(occ_moving, vp, 0.0) + jnp.where(
+        stop_map, jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
+    enter_stat = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
+    enter2 = jnp.round(2.0 * (enter_stat + soft)).astype(jnp.int32)
+    hard = stranded_occ
+    if ped_plane is not None:
+        hard = hard | ped_plane
+
+    sdir = build_sdir(cfg, world.cost_field, grid.allowed_dirs,
+                      grid.is_road, enter2, hard)
+    dest14 = _fld(pa, PA_DEST_SH, 14)
+    nd0 = select_dest_rows(sdir, dest14)
+    dir0, contra0 = resolve_dir(nd0, head1)
+    cell_dest = grid.dest_id
+    at_dest0 = present & (cell_dest >= 0) & (dest14 == cell_dest)
+
+    # contraflow ladder (`vehicle_base.py:309-419`)
+    ct = jnp.maximum(_fld(pb, PB_CONTRA_SH, 8) - 1, 0)
+    allow_pre = present & ~halted & (ct > 0)
+    blocked = present & ~halted & ~at_dest0 & \
+        ((dir0 == 7) | (contra0 & ~allow_pre))
+    overtake = cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE & blocked
+    stuck_v = _fld(pb, PB_STUCK_SH, 12)
+    thresh = jnp.where(grid.intersection,
+                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD_INTERSECTION,
+                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD)
+    stuck_detour = cfg.VEHICLE_STUCK_CONTRAFLOW_ENABLED & \
+        (stuck_v >= thresh) & present
+    newly = present & ~halted & (overtake | stuck_detour) & (ct == 0)
+    ct = jnp.where(newly,
+                   jnp.where(stuck_detour,
+                             cfg.VEHICLE_CONTRAFLOW_STUCK_DETOUR_DURATION,
+                             cfg.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION), ct)
+    # excursion bookkeeping: mode + step budget (the reference bounds the
+    # contraflow splice length, `vehicle_base.py:309-419`; merge-back to
+    # the original corridor is emergent — every contraflow cell costs
+    # VEHICLE_CONTRAFLOW_PENALTY so the field descent re-enters the legal
+    # lane at the first free cell)
+    CF_CLEAR = ~jnp.uint32(0x3F << PD_CFMODE_SH)
+    pd = jnp.where(newly,
+                   (pd & CF_CLEAR)
+                   | (_u32(stuck_detour) << PD_CFMODE_SH), pd)
+
+    # write decided per-vehicle state back into the planes
+    CLEAR_A = ~jnp.uint32((15 << PA_BASE_SH) | (15 << PA_CUR_SH)
+                          | (1 << PA_COL_SH) | (1 << PA_MAL_SH))
+    pa = (pa & CLEAR_A) \
+        | (_u32(base) << PA_BASE_SH) \
+        | (_u32(jnp.where(present, speed, cur0)) << PA_CUR_SH) \
+        | (_u32(col) << PA_COL_SH) | (_u32(mal) << PA_MAL_SH)
+    pb = (_u32(jnp.clip(stuck_v, 0, 4095))
+          | (_u32(jnp.clip(st, 0, 4095)) << PB_STRAND_SH)
+          | (_u32(jnp.clip(ct, 0, 255)) << PB_CONTRA_SH))
+
+    # ---- 4. move: K CA sub-rounds of masked shifts ------------------------
+    # (`_execute_movement` `vehicle_base.py:733-753` + conflict commit)
+    occ0 = present
+    prio = jax.random.bits(k_prio, (H, W), jnp.uint32) & \
+        jnp.uint32(0xFFFFFFF8)
+    ped_bit = (ped_plane if ped_plane is not None
+               else jnp.zeros((H, W), bool))
+    steps_left = jnp.where(present, speed, 0).astype(jnp.int32)
+    moved = jnp.zeros((H, W), bool)
+    halt_latch = halted
+
+    def subround(s, carry):
+        pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = carry
+        present_c = (pa & 1) == 1
+        dest_c = _fld(pa, PA_DEST_SH, 14)
+        nd = select_dest_rows(sdir, dest_c)
+        h1 = _fld(pa, PA_HEAD_SH, 3)
+        dir_, contra = resolve_dir(nd, h1)
+        at_dest_c = present_c & (cell_dest >= 0) & (dest_c == cell_dest)
+        csteps = _fld(pd, PD_CFSTEPS_SH, 5)
+        climit = jnp.where(_bit(pd, PD_CFMODE_SH),
+                           cfg.VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS,
+                           cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS)
+        allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
+        can_dir = (dir_ < 7) & (~contra | allow)
+        want = present_c & ~halt_latch & (steps_left > 0) & ~at_dest_c
+
+        bb = (stop_map.astype(jnp.uint8)
+              | (present_c.astype(jnp.uint8) << 1)
+              | (occ0.astype(jnp.uint8) << 2)
+              | (ped_bit.astype(jnp.uint8) << 3))
+        blocked_t = jnp.zeros((H, W), bool)
+        for m in range(4):
+            tb = nbr(bb, m, jnp.uint8(0xF))
+            blocked_t = jnp.where(dir_ == m, tb != 0, blocked_t)
+        can = want & can_dir & ~blocked_t
+
+        # conflict resolution: lowest key wins the target cell
+        kinf = jnp.uint32(KEY_INF)
+        inkeys = []
+        for m in range(4):
+            src_key = jnp.where(can & (dir_ == m), prio | jnp.uint32(m),
+                                kinf)
+            inkeys.append(nbr(src_key, C.opposite(m), kinf))
+        minkey = jnp.minimum(jnp.minimum(inkeys[0], inkeys[1]),
+                             jnp.minimum(inkeys[2], inkeys[3]))
+        arrive_m = [(inkeys[m] == minkey) & (inkeys[m] != kinf)
+                    for m in range(4)]
+        won = jnp.zeros((H, W), bool)
+        for m in range(4):
+            won = won | (can & (dir_ == m) & nbr(arrive_m[m], m, False))
+
+        def move_plane(P, zero, fm=None):
+            out = jnp.where(won, zero, P)
+            for m in range(4):
+                src = jnp.where(can & (dir_ == m),
+                                fm(P, m) if fm is not None else P, zero)
+                inc = nbr(src, C.opposite(m), zero)
+                out = jnp.where(arrive_m[m], inc, out)
+            return out
+
+        z32 = jnp.uint32(0)
+        HEAD_CLR = ~jnp.uint32(7 << PA_HEAD_SH)
+        pa = move_plane(pa, z32,
+                        lambda P, m: (P & HEAD_CLR)
+                        | (jnp.uint32(m + 1) << PA_HEAD_SH))
+        pb = move_plane(pb, z32)
+        pc = move_plane(pc, z32,
+                        lambda P, m: jnp.minimum(
+                            (P >> PC_STEPS_SH) + 1, 4095) << PC_STEPS_SH
+                        | (P & jnp.uint32((1 << PC_STEPS_SH) - 1)))
+        # contraflow moves consume the excursion step budget
+        CFS_CLR = ~jnp.uint32(31 << PD_CFSTEPS_SH)
+        pd = move_plane(pd, z32,
+                        lambda P, m: jnp.where(
+                            contra,
+                            (P & CFS_CLR) | (_u32(jnp.minimum(
+                                _fld(P, PD_CFSTEPS_SH, 5) + 1, 31))
+                                << PD_CFSTEPS_SH), P))
+        pe = move_plane(pe, z32)
+        pl = move_plane(pl, jnp.float32(0))
+        steps_left = move_plane(steps_left, jnp.int32(0),
+                                lambda P, m: P - 1)
+        moved = move_plane(moved, False, lambda P, m: True)
+        halt_latch = halt_latch | (want & ~won)
+        return pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch
+
+    carry = (pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch)
+    carry = jax.lax.fori_loop(0, cfg.VEHICLE_MAX_SPEED, subround, carry)
+    pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = carry
+    present = (pa & 1) == 1
+
+    # full stop resets the cruising speed (`step_decide`
+    # `vehicle_base.py:656-659`): the first move was impossible given
+    # start-of-tick state (not merely lost to a conflict)
+    bb0 = stop_map | occ0 | ped_bit
+    tgt_blocked0 = jnp.zeros((H, W), bool)
+    for m in range(4):
+        tgt_blocked0 = jnp.where(dir0 == m, nbr(bb0, m, True), tgt_blocked0)
+    allow0 = present & (_fld(pb, PB_CONTRA_SH, 8) > 0)
+    fb0 = at_dest0 | (dir0 == 7) | (contra0 & ~allow0) | tgt_blocked0
+    base_reset = present & ~moved & fb0
+    pa = jnp.where(base_reset, pa & ~jnp.uint32(15 << PA_BASE_SH), pa)
+
+    # stuck bookkeeping (`tick_stuck` `vehicle_base.py:687-693`)
+    at_stop_f = present & stop_map
+    stuck_v = _fld(pb, PB_STUCK_SH, 12)
+    stuck_inc = present & ~moved & ~at_stop_f
+    stuck_v = jnp.where(present & moved, 0,
+                        jnp.where(stuck_inc,
+                                  jnp.minimum(stuck_v + 1, 4095), stuck_v))
+    stuckf = _bit(pa, PA_STUCKF_SH)
+    stuckf = jnp.where(present & moved, False,
+                       jnp.where(stuck_v > cfg.VEHICLE_STUCK_RECOMPUTE_THRESHOLD,
+                                 True, stuckf))
+    pa = (pa & ~jnp.uint32(1 << PA_STUCKF_SH)) | (_u32(stuckf) << PA_STUCKF_SH)
+    pb = (pb & ~jnp.uint32(4095)) | _u32(stuck_v)
+    events = (jnp.sum(new_mal), jnp.sum(new_col))
+    return _post_move(cfg, world, es, (pa, pb, pc, pd, pe, pl),
+                      lights, stop_map, density, peds, ped_map,
+                      tick, elapsed, key, k_rain, rl_state, events)
+
+
+def _clear_veh(planes, mask):
+    """Remove vehicles where mask is True."""
+    pa, pb, pc, pd, pe, pl = planes
+    z = jnp.uint32(0)
+    return (jnp.where(mask, z, pa), jnp.where(mask, z, pb),
+            jnp.where(mask, z, pc), jnp.where(mask, z, pd),
+            jnp.where(mask, z, pe), jnp.where(mask, 0.0, pl))
+
+
+def _post_move(cfg: Config, world, es: EngineState, planes, lights,
+               stop_map, density, peds, ped_map, tick, elapsed, key,
+               k_rain, rl_state, events) -> EngineState:
+    """Arrivals, service FSM, despawns, demand spawning, daily counters,
+    rain and block resources (reference `CityModel.step` tail +
+    `on_target_reached` `vehicle_base.py:755-775` +
+    `ServiceVehicleAgent` `vehicle_service.py:41-140`)."""
+    caps = cfg.capacities()
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    V = caps.max_vehicles
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+    grid = world.grid
+    dests = world.dests
+    bs = world.blocks_static
+    bst = es.blocks
+    m = es.metrics
+    slot_used = es.slot_used
+
+    pa, pb, pc, pd, pe, pl = planes
+    present = (pa & 1) == 1
+    kind = _fld(pa, PA_KIND_SH, 2)
+    dest14 = _fld(pa, PA_DEST_SH, 14)
+    cell_dest = grid.dest_id
+    at_dest = present & (cell_dest >= 0) & (dest14 == cell_dest)
+    dur = elapsed - _fld(pc, PC_DEPART_SH, 20).astype(jnp.float32) * dt
+    steps = _fld(pc, PC_STEPS_SH, 12)
+
+    # ---- normal arrivals (`on_target_reached`) ----------------------------
+    done = at_dest & (kind <= KIND_THROUGH)
+    done_i = done & (kind == KIND_INTERNAL)
+    done_t = done & (kind == KIND_THROUGH)
+    m = m.replace(
+        completed_internal=m.completed_internal + jnp.sum(done_i),
+        completed_through=m.completed_through + jnp.sum(done_t),
+        sum_duration_internal=m.sum_duration_internal + jnp.sum(
+            jnp.where(done_i, dur, 0.0)),
+        sum_duration_through=m.sum_duration_through + jnp.sum(
+            jnp.where(done_t, dur, 0.0)),
+        sum_steps_internal=m.sum_steps_internal + jnp.sum(
+            jnp.where(done_i, steps, 0)),
+        sum_steps_through=m.sum_steps_through + jnp.sum(
+            jnp.where(done_t, steps, 0)),
+        malfunctions_total=m.malfunctions_total + events[0],
+        collisions_total=m.collisions_total + events[1])
+
+    # ---- service FSM in destination space (service vehicles interact
+    # only at the static destination cells) ---------------------------------
+    Dall = dests.pos.shape[0]
+    B = bs.valid.shape[0]
+    dpos = jnp.clip(dests.pos, 0, HW - 1)
+    paf, pdf, plf = pa.reshape(-1), pd.reshape(-1), pl.reshape(-1)
+    pcf = pc.reshape(-1)
+    pa_d = paf[dpos]
+    pd_d = pdf[dpos]
+    pl_d = plf[dpos]
+    is_here = dests.valid & ((pa_d & 1) == 1) & \
+        (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
+    kind_d = _fld(pa_d, PA_KIND_SH, 2)
+    is_svc = is_here & (kind_d >= KIND_FOOD)
+    phase_d = _fld(pd_d, PD_PHASE_SH, 2)
+    sb_raw = _fld(pd_d, PD_BLOCK_SH, 16)
+    sb = jnp.clip(jnp.where(sb_raw == SVC_BLOCK_NONE, 0, sb_raw), 0, B - 1)
+
+    # arrive at block -> park + transfer + timer (`_start_service`)
+    arrive_blk = is_svc & (phase_d == 0)
+    shortage = food_shortage(bs, bst)
+    surplus = waste_surplus(bs, bst)
+    give = jnp.where(arrive_blk & (kind_d == KIND_FOOD),
+                     jnp.minimum(pl_d, jnp.maximum(shortage[sb], 0.0)), 0.0)
+    take = jnp.where(arrive_blk & (kind_d == KIND_WASTE),
+                     jnp.minimum(cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE - pl_d,
+                                 jnp.maximum(surplus[sb], 0.0)), 0.0)
+    food = jnp.clip(bst.food.at[sb].add(give), 0.0, bs.food_cap)
+    waste = jnp.clip(bst.waste.at[sb].add(-take), 0.0, bs.waste_cap)
+    bst = bst.replace(food=food, waste=waste)
+    pl_d = pl_d - give + take
+    parked_d = _bit(pa_d, PA_PARKED_SH) | arrive_blk
+    phase_d = jnp.where(arrive_blk, 1, phase_d)
+    timer_d = jnp.where(arrive_blk, cfg.SERVICE_VEHICLE_LOAD_TIME,
+                        _fld(pd_d, PD_TIMER_SH, 8))
+
+    # servicing countdown -> finish (`_finish_service`)
+    servicing = is_svc & (phase_d == 1) & ~arrive_blk
+    timer_d = jnp.where(servicing, timer_d - 1, timer_d)
+    finish = servicing & (timer_d <= 0)
+    more = jnp.where(kind_d == KIND_FOOD, pl_d > 0,
+                     pl_d < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
+    DF = world.cost_field.shape[0]
+    svc_target = jnp.where((bs.service_dest >= 0) & (bs.service_dest < DF),
+                           bs.service_dest, bs.dest)
+    blk_ok = (svc_target >= 0) & (svc_target < DF)
+    best_food = jnp.argmax(jnp.where(blk_ok, shortage, -1.0))
+    best_waste = jnp.argmax(jnp.where(blk_ok, surplus, -1.0))
+    has_food_blk = jnp.max(jnp.where(blk_ok, shortage, -1.0)) > 0
+    has_waste_blk = jnp.max(jnp.where(blk_ok, surplus, -1.0)) > 0
+    nxt_blk = jnp.where(kind_d == KIND_FOOD, best_food, best_waste)
+    has_blk = jnp.where(kind_d == KIND_FOOD, has_food_blk, has_waste_blk)
+    go_again = finish & more & has_blk
+    go_exit = finish & ~go_again
+    # nearest exit by Manhattan distance from this dest cell (static
+    # table, `_finish_service` `vehicle_service.py:122-137`)
+    new_dest = jnp.where(go_again, svc_target[nxt_blk],
+                         jnp.where(go_exit, world.nearest_exit,
+                                   _fld(pa_d, PA_DEST_SH, 14)))
+    new_sb = jnp.where(go_again, nxt_blk,
+                       jnp.where(sb_raw == SVC_BLOCK_NONE, SVC_BLOCK_NONE,
+                                 sb_raw))
+    phase_d = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase_d))
+    parked_d = parked_d & ~finish
+
+    # scatter the updated service rows back into the planes
+    touch = is_svc
+    tpos = jnp.where(touch, dpos, HW)
+    pa_d_new = (pa_d & ~jnp.uint32((1 << PA_PARKED_SH)
+                                   | (DEST_NONE << PA_DEST_SH))) \
+        | (_u32(parked_d) << PA_PARKED_SH) \
+        | (_u32(jnp.clip(new_dest, 0, DEST_NONE)) << PA_DEST_SH)
+    pd_d_new = (_u32(phase_d)
+                | (_u32(jnp.clip(timer_d, 0, 255)) << PD_TIMER_SH)
+                | (_u32(new_sb) << PD_BLOCK_SH))
+    paf = jnp.concatenate([paf, jnp.zeros((1,), jnp.uint32)])
+    pdf = jnp.concatenate([pdf, jnp.zeros((1,), jnp.uint32)])
+    plf = jnp.concatenate([plf, jnp.zeros((1,), jnp.float32)])
+    paf = paf.at[tpos].set(jnp.where(touch, pa_d_new, paf[tpos]))[:HW]
+    pdf = pdf.at[tpos].set(jnp.where(touch, pd_d_new, pdf[tpos]))[:HW]
+    plf = plf.at[tpos].set(jnp.where(touch, pl_d, plf[tpos]))[:HW]
+    pa = paf.reshape(H, W)
+    pd = pdf.reshape(H, W)
+    pl = plf.reshape(H, W)
+
+    # service exit arrival: counted as a through completion (service
+    # vehicles carry population_type="through", `vehicle_service.py:36`)
+    svc_done_d = is_here & (kind_d >= KIND_FOOD) & \
+        (_fld(pd_d, PD_PHASE_SH, 2) == 2) & (dests.kind == 1)
+    dur_d = dur.reshape(-1)[dpos]
+    steps_d = _fld(pcf[dpos], PC_STEPS_SH, 12)
+    m = m.replace(
+        completed_through=m.completed_through + jnp.sum(svc_done_d),
+        completed_service=m.completed_service + jnp.sum(svc_done_d),
+        sum_duration_through=m.sum_duration_through + jnp.sum(
+            jnp.where(svc_done_d, dur_d, 0.0)),
+        sum_steps_through=m.sum_steps_through + jnp.sum(
+            jnp.where(svc_done_d, steps_d, 0)))
+
+    # ---- despawns ----------------------------------------------------------
+    svc_done_plane = jnp.zeros((HW + 1,), bool).at[
+        jnp.where(svc_done_d, dpos, HW)].set(svc_done_d)[:HW].reshape(H, W)
+    despawn = done | svc_done_plane
+
+    if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
+        stuck_v = _fld(pb, PB_STUCK_SH, 12)
+        thr = jnp.where(grid.intersection,
+                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
+                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD)
+        kill = present & (stuck_v >= thr) & ~despawn
+        m = m.replace(
+            errored_internal=m.errored_internal + jnp.sum(
+                kill & (kind == KIND_INTERNAL)),
+            errored_through=m.errored_through + jnp.sum(
+                kill & (kind != KIND_INTERNAL)))
+        despawn = despawn | kill
+        # freeing these slots needs a full-grid scatter; only paid when
+        # the (default-off) flag is enabled
+        slotk = jnp.where(despawn.reshape(-1), pe.reshape(-1).astype(
+            jnp.int32), V)
+        slot_used = slot_used.at[slotk].set(False, mode="drop")
+    else:
+        # arrivals only happen at destination cells: free those slots
+        # with a Dall-sized scatter
+        freed_d = despawn.reshape(-1)[dpos] & dests.valid
+        slot_f = pe.reshape(-1)[dpos].astype(jnp.int32)
+        slot_used = slot_used.at[
+            jnp.where(freed_d, jnp.clip(slot_f, 0, V - 1), V)].set(
+            False, mode="drop")
+
+    planes = _clear_veh((pa, pb, pc, pd, pe, pl), despawn)
+    pa, pb, pc, pd, pe, pl = planes
+    paf = pa.reshape(-1)
+
+    # ---- demand spawning (trip table pre-generated; see agents/demand) ----
+    key, k_spawn = jax.random.split(key)
+    del k_spawn  # spawn targets are deterministic given the table
+    dem = es.demand
+    S = caps.max_spawns_per_tick
+    T = dem.depart_tick.shape[0]
+    idxs = dem.cursor + jnp.arange(S)
+    j = jnp.clip(idxs, 0, T - 1)
+    due = (idxs < T) & dem.valid[j] & (dem.depart_tick[j] <= tick + 1)
+    due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
+    if not cfg.ENABLE_TRAFFIC:   # reference ENABLE_TRAFFIC flag
+        due = due & False
+    slots = jnp.nonzero(~slot_used, size=S, fill_value=-1)[0].astype(
+        jnp.int32)
+    can = due & (slots >= 0)
+    org = jnp.clip(dem.origin[j], 0, HW - 1)
+    occupied = (paf[org] & 1) == 1
+    # two same-tick spawns at one entrance: lowest batch index wins
+    first_tab = jnp.full((HW + 1,), jnp.int32(2**30)).at[
+        jnp.where(can & ~occupied, org, HW)].min(jnp.arange(S))
+    place = can & ~occupied & (first_tab[org] == jnp.arange(S))
+    dropped = can & ~place
+    tkind = dem.kind[j].astype(jnp.int32)
+
+    # service spawn targets: the neediest block right now
+    shortage2 = food_shortage(bs, bst)
+    surplus2 = waste_surplus(bs, bst)
+    sp_food_blk = jnp.argmax(jnp.where(blk_ok, shortage2, -1.0))
+    sp_waste_blk = jnp.argmax(jnp.where(blk_ok, surplus2, -1.0))
+    sp_blk = jnp.where(tkind == KIND_FOOD, sp_food_blk, sp_waste_blk)
+    tdest = jnp.where(tkind <= KIND_THROUGH, dem.dest[j], svc_target[sp_blk])
+    tdest = jnp.where(tdest < 0, DEST_NONE,
+                      jnp.minimum(tdest, DEST_NONE - 1))
+
+    scell = jnp.where(place, org, HW)
+    spawn_pa = (jnp.uint32(1) | (_u32(tkind) << PA_KIND_SH)
+                | (_u32(tdest) << PA_DEST_SH))
+    spawn_pc = _u32(jnp.clip((tick + 1), 0, (1 << 20) - 1))
+    spawn_pd = _u32(jnp.where(tkind >= KIND_FOOD, sp_blk, SVC_BLOCK_NONE)
+                    << PD_BLOCK_SH)
+    spawn_pl = jnp.where(tkind == KIND_FOOD,
+                         jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD), 0.0)
+
+    def put_plane(p, vals):
+        flat = jnp.concatenate([p.reshape(-1),
+                                jnp.zeros((1,), p.dtype)])
+        return flat.at[scell].set(vals.astype(p.dtype))[:HW].reshape(H, W)
+
+    pa = put_plane(pa, spawn_pa)
+    pb = put_plane(pb, jnp.zeros((S,), jnp.uint32))
+    pc = put_plane(pc, jnp.broadcast_to(spawn_pc, (S,)))
+    pd = put_plane(pd, spawn_pd)
+    pe = put_plane(pe, _u32(jnp.clip(slots, 0, V - 1)))
+    pl = put_plane(pl, spawn_pl)
+    slot_used = slot_used.at[jnp.where(place, slots, V)].set(
+        True, mode="drop")
+    dem = dem.replace(cursor=dem.cursor + jnp.sum(due))
+    m = m.replace(
+        created_internal=m.created_internal + jnp.sum(
+            can & (tkind == KIND_INTERNAL)),
+        created_through=m.created_through + jnp.sum(
+            can & (tkind == KIND_THROUGH)),
+        created_service=m.created_service + jnp.sum(
+            can & (tkind >= KIND_FOOD)),
+        errored_internal=m.errored_internal + jnp.sum(
+            dropped & (tkind == KIND_INTERNAL)),
+        errored_through=m.errored_through + jnp.sum(
+            dropped & (tkind != KIND_INTERNAL)))
+
+    # daily counters (`dynamic_traffic_generator.py:161-179`)
+    off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
+           + cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
+    new_day = ((off + elapsed) // 86400).astype(jnp.int32)
+    rolled = new_day > m.day
+    tick_created = jnp.sum(can & (tkind <= KIND_THROUGH))
+    tick_finished = jnp.sum(done) + jnp.sum(svc_done_d)
+    m = m.replace(
+        last_daily_difference=jnp.where(
+            rolled, m.daily_finished - m.daily_created,
+            m.last_daily_difference),
+        daily_created=jnp.where(rolled, tick_created,
+                                m.daily_created + tick_created),
+        daily_finished=jnp.where(rolled, tick_finished,
+                                 m.daily_finished + tick_finished),
+        day=new_day)
+
+    # ---- rain, blocks ------------------------------------------------------
+    rain, rain_map = step_rain(cfg, H, W, es.rain, k_rain,
+                               force_spawn=es.overrides.spawn_rain)
+    bst = step_blocks(cfg, bs, bst, tick)
+
+    return es.replace(
+        pa=pa, pb=pb, pc=pc, pd=pd, pe=pe, pl=pl,
+        slot_used=slot_used,
+        stop_map=stop_map, rain_map=rain_map, density=density,
+        ped_map=ped_map,
+        lights=lights, blocks=bst, rain=rain, demand=dem, metrics=m,
+        overrides=Overrides(
+            light_force=jnp.full_like(es.overrides.light_force, -1),
+            spawn_rain=jnp.bool_(False)),
+        peds=peds,
+        tick=tick + 1, elapsed=elapsed, key=key, rl=rl_state)

@@ -27,7 +27,7 @@ from . import codes as C
 from .config import Config
 from .core.state import World, Vehicles, Metrics, Overrides
 from .gen.generate import generate_city
-from .ops import movement, routing
+from .ops import engine, movement, routing
 from .ops.density import density_map
 from .lights import fsm
 from .agents import demand as demand_mod
@@ -70,6 +70,21 @@ def init_metrics() -> Metrics:
         day=z)
 
 
+def _nearest_exit_table(cfg: Config, dests, DF: int) -> jnp.ndarray:
+    """Static table: nearest valid highway-exit dest id (Manhattan) from
+    each destination cell (`_finish_service` `vehicle_service.py:122-137`
+    picks the exit from the serviced block's position — which is always a
+    destination cell in this engine)."""
+    W = cfg.WIDTH
+    exit_ok = dests.valid & (dests.kind == 1) & (
+        jnp.arange(dests.valid.shape[0]) < DF)
+    px, py = dests.pos % W, dests.pos // W
+    man = jnp.abs(px[:, None] - px[None, :]) + \
+        jnp.abs(py[:, None] - py[None, :])
+    man = jnp.where(exit_ok[None, :], man, 2**30)
+    return jnp.argmin(man, axis=1).astype(jnp.int32)
+
+
 def init_world(cfg: Config, key) -> World:
     caps = cfg.capacities()
     H, W = cfg.HEIGHT, cfg.WIDTH
@@ -77,6 +92,7 @@ def init_world(cfg: Config, key) -> World:
     grid, ls, gs, bs, dests, field = generate_city(cfg, kgen)
     layout = trip_layout_cached(cfg)
     DF = field.shape[0]
+    field = engine.field_to_u16(field)
     dem = demand_mod.generate_days(
         cfg, layout, kday, jnp.int32(0), cfg.DEMAND_PREGEN_DAYS,
         jnp.int32(-1), bs.valid, bs.btype, bs.dest, bs.entrance,
@@ -84,6 +100,7 @@ def init_world(cfg: Config, key) -> World:
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
         dests=dests, cost_field=field,
+        nearest_exit=_nearest_exit_table(cfg, dests, DF),
         veh_map=jnp.full((H, W), -1, jnp.int32),
         stop_map=jnp.zeros((H, W), bool),
         rain_map=jnp.zeros((H, W), bool),
@@ -127,347 +144,55 @@ def trip_layout_cached(cfg: Config):
 # step
 # ---------------------------------------------------------------------------
 
-def _despawn(vehicles: Vehicles, veh_map_flat, who):
-    """Remove `who` from pool and map (`_despawn` `vehicle_base.py:777`)."""
-    HW = veh_map_flat.shape[0] - 1
-    old = jnp.where(who, jnp.clip(vehicles.pos, 0, HW - 1), HW)
-    veh_map_flat = veh_map_flat.at[old].set(-1)
-    return vehicles.replace(
-        active=vehicles.active & ~who,
-        pos=jnp.where(who, -1, vehicles.pos),
-        parked=vehicles.parked & ~who,
-        is_stuck=vehicles.is_stuck & ~who), veh_map_flat
+def _enter_engine(cfg: Config, world: World):
+    """Pack the SoA world into the plane-engine scan carry."""
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    planes, slot_used = engine.vehicles_to_planes(cfg, world.vehicles, H, W)
+    pa, pb, pc, pd, pe, pl = planes
+    return engine.EngineState(
+        pa=pa, pb=pb, pc=pc, pd=pd, pe=pe, pl=pl, slot_used=slot_used,
+        stop_map=world.stop_map, rain_map=world.rain_map,
+        density=world.density, ped_map=world.ped_map,
+        lights=world.lights, blocks=world.blocks, rain=world.rain,
+        demand=world.demand, metrics=world.metrics,
+        overrides=world.overrides, peds=world.peds,
+        tick=world.tick, elapsed=world.elapsed, key=world.key, rl=world.rl)
+
+
+def _exit_engine(cfg: Config, world: World, es) -> World:
+    """Unpack the plane-engine carry back into the SoA world."""
+    V = cfg.capacities().max_vehicles
+    planes = (es.pa, es.pb, es.pc, es.pd, es.pe, es.pl)
+    vehicles = engine.planes_to_vehicles(cfg, planes, V)
+    veh_map, stuck_map = engine.planes_to_maps(planes, V)
+    return world.replace(
+        vehicles=vehicles, veh_map=veh_map, stuck_map=stuck_map,
+        stop_map=es.stop_map, rain_map=es.rain_map, density=es.density,
+        ped_map=es.ped_map, peds=es.peds,
+        lights=es.lights, blocks=es.blocks, rain=es.rain,
+        demand=es.demand, metrics=es.metrics, overrides=es.overrides,
+        tick=es.tick, elapsed=es.elapsed, key=es.key, rl=es.rl)
 
 
 def step_world(cfg: Config, world: World) -> World:
-    caps = cfg.capacities()
-    H, W = cfg.HEIGHT, cfg.WIDTH
-    HW = H * W
-    V = caps.max_vehicles
-    layout = trip_layout_cached(cfg)
-    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
-    grid = world.grid
-    key, k_decide, k_move, k_rain, k_day, k_spawn = jax.random.split(
-        world.key, 6)
-
-    tick = world.tick
-    elapsed = world.elapsed + dt
-
-    inter_flat = grid.intersection.reshape(-1)
-    enter = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
-
-    # ---- 1. density --------------------------------------------------------
-    occupancy = world.veh_map >= 0
-    density = density_map(occupancy, grid.is_road,
-                          cfg.VEHICLE_AWARENESS_RANGE)
-
-    # ---- 2. lights (Mesa's RandomActivation interleaves light and
-    # vehicle steps; we commit lights first so decide reads the fresh
-    # stop_map and move can reuse decide's stop flags) -----------------------
-    rl_state = world.rl
-    rl_request = None
-    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in fsm.RL_ALGOS:
-        from .rl.controllers import rl_controller_step
-        key, k_rl = jax.random.split(key)
-        m0 = world.metrics
-        avg_dur = 0.5 * (
-            m0.sum_duration_internal
-            / jnp.maximum(m0.completed_internal, 1)
-            + m0.sum_duration_through
-            / jnp.maximum(m0.completed_through, 1))
-        avg_tpc = 0.5 * (
-            m0.sum_duration_internal
-            / jnp.maximum(m0.sum_steps_internal, 1)
-            + m0.sum_duration_through
-            / jnp.maximum(m0.sum_steps_through, 1))
-        trip_penalty = 0.01 * avg_dur + 1.0 * avg_tpc
-        rl_state, lights_rl, want, phase_req = rl_controller_step(
-            cfg, rl_state, grid, world.groups_static, world.lights,
-            occupancy, world.stuck_map, trip_penalty, k_rl)
-        world = world.replace(lights=lights_rl)
-        rl_request = (want, phase_req)
-    red = fsm.group_reductions(grid, occupancy, caps.max_groups)
-    lights = fsm.run_controllers(cfg, grid, world.groups_static,
-                                 world.lights, occupancy,
-                                 rl_phase_request=rl_request,
-                                 reductions=red[:4])
-    lights = fsm.execute_phase_change(cfg, world.lights_static,
-                                      world.groups_static, lights,
-                                      red[4])
-    lights = fsm.apply_light_overrides(lights, world.overrides.light_force)
-    stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
-
-    # ---- 2b. pedestrians (config #3 extension) ------------------------------
-    peds, ped_map = world.peds, world.ped_map
-    ped_block = None
-    if cfg.PEDESTRIANS_ENABLED:
-        key, k_ped = jax.random.split(key)
-        peds, ped_block, ped_count = step_pedestrians(
-            cfg, H, W, peds, grid.cell_type.reshape(-1),
-            stop_map.reshape(-1), world.ped_spawn_cells, k_ped)
-        ped_map = ped_count.reshape(H, W)
-
-    # ---- 3. decide ---------------------------------------------------------
-    vehicles, cells, dirs, valid, on_stop, max_steps, events = \
-        movement.decide(
-            cfg, H, W, grid.allowed_dirs, enter, grid.is_road, inter_flat,
-            world.cost_field, world.dests.pos, world.vehicles,
-            world.veh_map, stop_map, world.rain_map, density, k_decide,
-            ped_block=ped_block)
-
-    # ---- 4. move -----------------------------------------------------------
-    vehicles, veh_map = movement.move(cfg, H, W, vehicles, world.veh_map,
-                                      stop_map, cells, dirs, valid, on_stop,
-                                      max_steps, k_move,
-                                      ped_block=ped_block)
-    vm_flat = jnp.concatenate([veh_map.reshape(-1),
-                               jnp.full((1,), -1, jnp.int32)])
-
-    # ---- 5. arrivals / service FSM / despawns ------------------------------
-    m = world.metrics
-    dest_pos_of = world.dests.pos[jnp.clip(vehicles.dest, 0,
-                                           world.dests.pos.shape[0] - 1)]
-    at_target = vehicles.active & (vehicles.dest >= 0) & \
-        (vehicles.pos == dest_pos_of)
-
-    # normal trips complete (`on_target_reached` `vehicle_base.py:755-775`)
-    done = at_target & (vehicles.kind <= KIND_THROUGH)
-    dur = elapsed - vehicles.depart_time
-    m = m.replace(
-        completed_internal=m.completed_internal + jnp.sum(
-            done & (vehicles.kind == KIND_INTERNAL)),
-        completed_through=m.completed_through + jnp.sum(
-            done & (vehicles.kind == KIND_THROUGH)),
-        sum_duration_internal=m.sum_duration_internal + jnp.sum(
-            jnp.where(done & (vehicles.kind == KIND_INTERNAL), dur, 0.0)),
-        sum_duration_through=m.sum_duration_through + jnp.sum(
-            jnp.where(done & (vehicles.kind == KIND_THROUGH), dur, 0.0)),
-        sum_steps_internal=m.sum_steps_internal + jnp.sum(
-            jnp.where(done & (vehicles.kind == KIND_INTERNAL),
-                      vehicles.steps_traveled, 0)),
-        sum_steps_through=m.sum_steps_through + jnp.sum(
-            jnp.where(done & (vehicles.kind == KIND_THROUGH),
-                      vehicles.steps_traveled, 0)),
-        collisions_total=m.collisions_total + events["new_collisions"],
-        malfunctions_total=m.malfunctions_total + events["new_malfunctions"])
-    vehicles, vm_flat = _despawn(vehicles, vm_flat, done)
-
-    # service FSM (`vehicle_service.py:41-140`)
-    bs, bst = world.blocks_static, world.blocks
-    is_svc = vehicles.active & (vehicles.kind >= KIND_FOOD)
-    sb = jnp.clip(vehicles.service_block, 0, bs.valid.shape[0] - 1)
-    # arrive at block -> park + transfer + timer (`_start_service`)
-    arrive_blk = is_svc & at_target & (vehicles.service_phase == 0)
-    shortage = food_shortage(bs, bst)
-    surplus = waste_surplus(bs, bst)
-    give = jnp.where(arrive_blk & (vehicles.kind == KIND_FOOD),
-                     jnp.minimum(vehicles.load,
-                                 jnp.maximum(shortage[sb], 0.0)), 0.0)
-    take = jnp.where(arrive_blk & (vehicles.kind == KIND_WASTE),
-                     jnp.minimum(cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE
-                                 - vehicles.load,
-                                 jnp.maximum(surplus[sb], 0.0)), 0.0)
-    food = jnp.clip(bst.food.at[sb].add(give), 0.0, bs.food_cap)
-    waste = jnp.clip(bst.waste.at[sb].add(-take), 0.0, bs.waste_cap)
-    bst = bst.replace(food=food, waste=waste)
-    vehicles = vehicles.replace(
-        load=vehicles.load - give + take,
-        parked=vehicles.parked | arrive_blk,
-        service_phase=jnp.where(arrive_blk, 1, vehicles.service_phase),
-        service_timer=jnp.where(arrive_blk, cfg.SERVICE_VEHICLE_LOAD_TIME,
-                                vehicles.service_timer))
-
-    # servicing countdown -> finish (`_finish_service`)
-    servicing = is_svc & (vehicles.service_phase == 1) & ~arrive_blk
-    timer = jnp.where(servicing, vehicles.service_timer - 1,
-                      vehicles.service_timer)
-    finish = servicing & (timer <= 0)
-    more = jnp.where(vehicles.kind == KIND_FOOD, vehicles.load > 0,
-                     vehicles.load < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
-    # next neediest block (with a routing field).  Service vehicles head
-    # for the block's service road cell when it has a field, else the
-    # entrance (`get_service_road_cell` `city_block.py:152-202`).
-    DF = world.cost_field.shape[0]
-    svc_target = jnp.where((bs.service_dest >= 0) & (bs.service_dest < DF),
-                           bs.service_dest, bs.dest)
-    blk_ok = (svc_target >= 0) & (svc_target < DF)
-    best_food = jnp.argmax(jnp.where(blk_ok, shortage, -1.0))
-    best_waste = jnp.argmax(jnp.where(blk_ok, surplus, -1.0))
-    has_food_blk = jnp.max(jnp.where(blk_ok, shortage, -1.0)) > 0
-    has_waste_blk = jnp.max(jnp.where(blk_ok, surplus, -1.0)) > 0
-    nxt_blk = jnp.where(vehicles.kind == KIND_FOOD, best_food, best_waste)
-    has_blk = jnp.where(vehicles.kind == KIND_FOOD, has_food_blk,
-                        has_waste_blk)
-    go_again = finish & more & has_blk
-    # nearest exit by Manhattan distance (`_finish_service` `:122-137`)
-    exit_ok = world.dests.valid & (world.dests.kind == 1) & (
-        jnp.arange(world.dests.valid.shape[0]) < DF)
-    ex = vehicles.pos % W
-    ey = vehicles.pos // W
-    dx_ = jnp.abs(world.dests.pos[None, :] % W - ex[:, None])
-    dy_ = jnp.abs(world.dests.pos[None, :] // W - ey[:, None])
-    man = jnp.where(exit_ok[None, :], dx_ + dy_, 2**30)
-    nearest_exit = jnp.argmin(man, axis=1).astype(jnp.int32)
-    go_exit = finish & ~go_again
-    vehicles = vehicles.replace(
-        service_timer=timer,
-        parked=vehicles.parked & ~finish,
-        service_block=jnp.where(go_again, nxt_blk, vehicles.service_block),
-        dest=jnp.where(go_again, svc_target[nxt_blk],
-                       jnp.where(go_exit, nearest_exit, vehicles.dest)),
-        service_phase=jnp.where(go_again, 0,
-                                jnp.where(go_exit, 2,
-                                          vehicles.service_phase)))
-
-    # service exit arrival: counted as a through completion (service
-    # vehicles carry population_type="through", `vehicle_service.py:36`)
-    svc_done = is_svc & at_target & (vehicles.service_phase == 2)
-    m = m.replace(
-        completed_through=m.completed_through + jnp.sum(svc_done),
-        completed_service=m.completed_service + jnp.sum(svc_done),
-        sum_duration_through=m.sum_duration_through + jnp.sum(
-            jnp.where(svc_done, dur, 0.0)),
-        sum_steps_through=m.sum_steps_through + jnp.sum(
-            jnp.where(svc_done, vehicles.steps_traveled, 0)))
-    vehicles, vm_flat = _despawn(vehicles, vm_flat, svc_done)
-
-    # stuck despawn (`_despawn_check` `vehicle_base.py:695-706`)
-    if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
-        thresh = jnp.where(
-            inter_flat[jnp.clip(vehicles.pos, 0, HW - 1)],
-            cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
-            cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD)
-        kill = vehicles.active & (vehicles.stuck_ticks >= thresh)
-        m = m.replace(
-            errored_internal=m.errored_internal + jnp.sum(
-                kill & (vehicles.kind == KIND_INTERNAL)),
-            errored_through=m.errored_through + jnp.sum(
-                kill & (vehicles.kind != KIND_INTERNAL)))
-        vehicles, vm_flat = _despawn(vehicles, vm_flat, kill)
-
-    # ---- 6. demand spawning.  The trip table is pre-generated for
-    # DEMAND_PREGEN_DAYS (in-step regeneration would run on every tick
-    # under vmapped batches — lax.cond lowers to select); the host
-    # wrapper extends the table between scan segments.
-    del k_day, layout
-    dem = world.demand
-
-    S = caps.max_spawns_per_tick
-    T = dem.depart_tick.shape[0]
-    idxs = dem.cursor + jnp.arange(S)
-    j = jnp.clip(idxs, 0, T - 1)
-    due = (idxs < T) & dem.valid[j] & (dem.depart_tick[j] <= tick + 1)
-    due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
-    if not cfg.ENABLE_TRAFFIC:   # reference ENABLE_TRAFFIC flag
-        due = due & False
-    slots = jnp.nonzero(~vehicles.active, size=S, fill_value=-1)[0]
-    slots = slots.astype(jnp.int32)
-    can = due & (slots >= 0)
-    org = jnp.clip(dem.origin[j], 0, HW - 1)
-    occupied = vm_flat[org] >= 0
-    # two same-tick spawns at one entrance: lowest batch index wins
-    first_tab = jnp.full((HW + 1,), jnp.int32(2**30)).at[
-        jnp.where(can & ~occupied, org, HW)].min(jnp.arange(S))
-    place = can & ~occupied & (first_tab[org] == jnp.arange(S))
-    dropped = can & ~place
-    tkind = dem.kind[j]
-
-    # service spawn targets: the neediest block right now
-    shortage2 = food_shortage(bs, bst)
-    surplus2 = waste_surplus(bs, bst)
-    sp_food_blk = jnp.argmax(jnp.where(blk_ok, shortage2, -1.0))
-    sp_waste_blk = jnp.argmax(jnp.where(blk_ok, surplus2, -1.0))
-    sp_blk = jnp.where(tkind == KIND_FOOD, sp_food_blk, sp_waste_blk)
-    tdest = jnp.where(tkind <= KIND_THROUGH, dem.dest[j],
-                      svc_target[sp_blk])
-
-    sl = jnp.where(place, slots, V)  # V = out of bounds -> dropped
-
-    def put(arr, val):
-        return arr.at[sl].set(jnp.broadcast_to(val, (S,)).astype(arr.dtype),
-                              mode="drop")
-    vehicles = vehicles.replace(
-        active=put(vehicles.active, True),
-        pos=put(vehicles.pos, org.astype(jnp.int32)),
-        heading=put(vehicles.heading, -1),
-        dest=put(vehicles.dest, tdest),
-        base_speed=put(vehicles.base_speed, 0),
-        current_speed=put(vehicles.current_speed, 0),
-        stuck_ticks=put(vehicles.stuck_ticks, 0),
-        is_stuck=put(vehicles.is_stuck, False),
-        stranded_ticks=put(vehicles.stranded_ticks, 0),
-        parked=put(vehicles.parked, False),
-        in_collision=put(vehicles.in_collision, False),
-        in_malfunction=put(vehicles.in_malfunction, False),
-        contraflow_ticks=put(vehicles.contraflow_ticks, 0),
-        kind=put(vehicles.kind, tkind),
-        depart_time=put(vehicles.depart_time, elapsed),
-        steps_traveled=put(vehicles.steps_traveled, 0),
-        service_phase=put(vehicles.service_phase, jnp.zeros_like(tkind)),
-        load=put(vehicles.load, jnp.where(
-            tkind == KIND_FOOD, cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD, 0.0)),
-        service_timer=put(vehicles.service_timer, 0),
-        service_block=put(vehicles.service_block,
-                          jnp.where(tkind >= KIND_FOOD, sp_blk, -1)))
-    vm_flat = vm_flat.at[jnp.where(place, org, HW + 1)].set(
-        jnp.clip(sl, 0, V - 1), mode="drop")
-    dem = dem.replace(cursor=dem.cursor + jnp.sum(due))
-    m = m.replace(
-        created_internal=m.created_internal + jnp.sum(
-            can & (tkind == KIND_INTERNAL)),
-        created_through=m.created_through + jnp.sum(
-            can & (tkind == KIND_THROUGH)),
-        created_service=m.created_service + jnp.sum(
-            can & (tkind >= KIND_FOOD)),
-        errored_internal=m.errored_internal + jnp.sum(
-            dropped & (tkind == KIND_INTERNAL)),
-        errored_through=m.errored_through + jnp.sum(
-            dropped & (tkind != KIND_INTERNAL)))
-
-    # daily counters (`dynamic_traffic_generator.py:161-179`)
-    off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
-           + cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
-    new_day = ((off + elapsed) // 86400).astype(jnp.int32)
-    rolled = new_day > m.day
-    tick_created = jnp.sum(can & (tkind <= KIND_THROUGH))
-    tick_finished = jnp.sum(done) + jnp.sum(svc_done)
-    m = m.replace(
-        last_daily_difference=jnp.where(
-            rolled, m.daily_finished - m.daily_created,
-            m.last_daily_difference),
-        daily_created=jnp.where(rolled, tick_created,
-                                m.daily_created + tick_created),
-        daily_finished=jnp.where(rolled, tick_finished,
-                                 m.daily_finished + tick_finished),
-        day=new_day)
-
-    # ---- 7. rain, blocks, clock --------------------------------------------
-    rain, rain_map = step_rain(cfg, H, W, world.rain, k_rain,
-                               force_spawn=world.overrides.spawn_rain)
-    bst = step_blocks(cfg, bs, bst, tick)
-
-    veh_map = vm_flat[:HW].reshape(H, W)
-    stuck_map = jnp.zeros((HW,), jnp.int32).at[
-        jnp.where(vehicles.active, jnp.clip(vehicles.pos, 0, HW - 1), HW - 1)
-    ].max(jnp.where(vehicles.active, vehicles.stuck_ticks, 0)).reshape(H, W)
-
-    return world.replace(
-        veh_map=veh_map, stop_map=stop_map, rain_map=rain_map,
-        stuck_map=stuck_map, density=density,
-        vehicles=vehicles, lights=lights, blocks=bst, rain=rain,
-        demand=dem, metrics=m, peds=peds, ped_map=ped_map,
-        overrides=Overrides(
-            light_force=jnp.full_like(world.overrides.light_force, -1),
-            spawn_rain=jnp.bool_(False)),
-        tick=tick + 1, elapsed=elapsed, key=key, rl=rl_state)
+    """One tick.  The tick itself runs on the plane-CA engine
+    (`ops/engine.py`); this wrapper converts the SoA world in and out —
+    use `run_chunk` to amortize the conversion over many ticks."""
+    es = _enter_engine(cfg, world)
+    es = engine.step_engine(cfg, world, es)
+    return _exit_engine(cfg, world, es)
 
 
 def run_chunk(cfg: Config, world: World, n: int) -> World:
-    """Advance n ticks inside one lax.scan (fused device loop)."""
-    def body(w, _):
-        return step_world(cfg, w), None
-    world, _ = jax.lax.scan(body, world, None, length=n)
-    return world
+    """Advance n ticks inside one lax.scan (fused device loop).  The
+    SoA <-> plane conversion happens once per chunk, not per tick."""
+    es = _enter_engine(cfg, world)
+
+    def body(e, _):
+        return engine.step_engine(cfg, world, e), None
+
+    es, _ = jax.lax.scan(body, es, None, length=n)
+    return _exit_engine(cfg, world, es)
 
 
 class TrafficSim:
@@ -476,17 +201,23 @@ class TrafficSim:
     def __init__(self, cfg: Config = Config(), seed: int = 0):
         self.reset(cfg, seed)
 
-    def reset(self, cfg: Config = None, seed: int = 0):
+    def reset(self, cfg: Config = None, seed: int = 0,
+              measure_caps: bool = True):
         """Rebuild the model (the reference's model-reset path,
-        `dynamic_grid_server.py:9-24`)."""
+        `dynamic_grid_server.py:9-24`).  With `measure_caps` the padded
+        SoA capacities are re-measured from the generated world and the
+        step re-jits at tight shapes (pure perf; same semantics)."""
         if cfg is not None:
             self.cfg = cfg
+        self.base_cfg = self.cfg
         self._init = jax.jit(functools.partial(init_world, self.cfg))
+        self.world = self._init(jax.random.PRNGKey(seed))
+        if measure_caps:
+            self.cfg, self.world = measure_and_shrink(self.cfg, self.world)
         self._step = jax.jit(functools.partial(step_world, self.cfg))
         self._chunks = {}
         if hasattr(self, "_render"):
             del self._render
-        self.world = self._init(jax.random.PRNGKey(seed))
         return self.world
 
     def step(self, n: int = 1):
@@ -651,4 +382,100 @@ class TrafficSim:
                 np.asarray(v.stuck_ticks)[active].max() * dt
                 if active.any() else 0),
             "raining": int(np.asarray(w.rain.active).sum()),
+            # blocks whose destination has no routing field — their
+            # internal-trip demand is re-sampled onto routable blocks
+            # (surfaced per the no-silent-caps rule; 0 when
+            # MAX_FIELD_DESTS covers every destination)
+            "blocks_unroutable_no_field": int(
+                (np.asarray(w.blocks_static.valid)
+                 & ((np.asarray(w.blocks_static.dest) < 0)
+                    | (np.asarray(w.blocks_static.dest)
+                       >= w.cost_field.shape[0]))).sum()),
         }
+
+
+# ---------------------------------------------------------------------------
+# Measured capacities (perf): shrink padded tables to what generation
+# actually produced
+# ---------------------------------------------------------------------------
+
+def _pow2(n: int, lo: int = 8) -> int:
+    n = max(int(n), lo)
+    return 1 << (n - 1).bit_length()
+
+
+def measure_and_shrink(cfg: Config, world: World):
+    """Measure the real table sizes of a generated world and return
+    (cfg2, world2) with capacity overrides + sliced static/dynamic
+    tables.  TPU scatter/gather cost scales with *padded* table size
+    (NOTES.md), so running the step at measured (pow2-rounded) caps is a
+    pure win; the conservative worst-case caps remain the default for
+    plain `init_world` users.
+
+    Only valid for THIS world (and vmapped copies of it): capacities are
+    measured, not bounds.
+    """
+    import numpy as np
+    ls, gs, bs, dests = (world.lights_static, world.groups_static,
+                         world.blocks_static, world.dests)
+    caps = cfg.capacities()
+
+    n_lights = _pow2(int(np.asarray(ls.valid).sum()) + 1)
+    n_assign = _pow2(int(np.asarray(ls.assign_valid).sum()) + 1)
+    n_groups = _pow2(max(int(np.asarray(world.grid.group_id).max()),
+                         int(np.asarray(world.grid.queue_group).max()),
+                         int(np.asarray(ls.group).max())) + 2)
+    n_blocks = _pow2(int(np.asarray(world.grid.block_id).max()) + 2)
+    n_dests = _pow2(int(np.asarray(dests.valid).sum()) + 1)
+    n_exits = _pow2(int(np.asarray(dests.hw_valid).sum()) + 1)
+    DF = min(world.cost_field.shape[0], n_dests)
+
+    n_lights = min(n_lights, caps.max_lights)
+    n_assign = min(n_assign, ls.assign_valid.shape[0])
+    n_groups = min(n_groups, caps.max_groups)
+    n_blocks = min(n_blocks, caps.max_blocks)
+    n_dests = min(n_dests, dests.valid.shape[0])
+    n_exits = min(n_exits, dests.hw_valid.shape[0])
+
+    cfg2 = cfg.replace(CAP_OVERRIDES=(
+        ("max_lights", n_lights), ("max_groups", n_groups),
+        ("max_blocks", n_blocks), ("max_dests", n_dests),
+        ("max_exits", n_exits), ("max_entrances_hw", n_exits)),
+        MAX_FIELD_DESTS=DF)
+
+    sl = lambda a, n: a[:n]
+    world2 = world.replace(
+        lights_static=ls.replace(
+            valid=sl(ls.valid, n_lights), pos=sl(ls.pos, n_lights),
+            group=sl(ls.group, n_lights), axis=sl(ls.axis, n_lights),
+            assign_road=sl(ls.assign_road, n_assign),
+            assign_light=sl(ls.assign_light, n_assign),
+            assign_valid=sl(ls.assign_valid, n_assign)),
+        groups_static=gs.replace(
+            valid=sl(gs.valid, n_groups), neighbor=sl(gs.neighbor, n_groups),
+            intermediates=sl(gs.intermediates, n_groups),
+            bbox=sl(gs.bbox, n_groups),
+            intersection_size=sl(gs.intersection_size, n_groups),
+            penalty_score=sl(gs.penalty_score, n_groups)),
+        blocks_static=jax.tree.map(lambda a: a[:n_blocks], bs),
+        dests=dests.replace(
+            valid=sl(dests.valid, n_dests), pos=sl(dests.pos, n_dests),
+            kind=sl(dests.kind, n_dests), block=sl(dests.block, n_dests),
+            hw_pos=sl(dests.hw_pos, n_exits),
+            hw_valid=sl(dests.hw_valid, n_exits)),
+        cost_field=world.cost_field[:DF],
+        nearest_exit=world.nearest_exit[:n_dests],
+        lights=world.lights.replace(
+            light_stop=world.lights.light_stop[:n_lights],
+            **{f: getattr(world.lights, f)[:n_groups]
+               for f in ("current_phase", "pending_phase",
+                         "transition_timer", "clearance_timer", "ft_phase",
+                         "fixed_time_timer", "queue_timer", "gap_timer",
+                         "last_arrival", "ns_pressure", "ew_pressure",
+                         "rl_timer")}),
+        blocks=jax.tree.map(lambda a: a[:n_blocks], world.blocks),
+        overrides=world.overrides.replace(
+            light_force=world.overrides.light_force[:n_lights]),
+        rl=None if world.rl is None else _maybe_init_rl(
+            cfg2, n_groups, world.key))
+    return cfg2, world2
