@@ -166,6 +166,21 @@ def test_subblock_roads(small_cfg):
         assert road_like[ny, nx].all()
 
 
+def test_subblock_layout_varies_with_seed(small_cfg):
+    """Pivot position and leg directions are PRNG draws
+    (`city_model.py:664-683`), so different seeds must yield different
+    sub-block road layouts."""
+    cfg = small_cfg.replace(CARVE_SUBBLOCK_ROADS=True, SUBBLOCK_CHANGE=1.0,
+                            MIN_BLOCK_SPACING=10, MAX_BLOCK_SPACING=24)
+    masks = []
+    for seed in (3, 4):
+        ct = _np(generate_city(cfg, jax.random.PRNGKey(seed))[0].cell_type)
+        masks.append(ct == C.R3)
+    assert masks[0].any() and masks[1].any()
+    assert (masks[0] != masks[1]).any(), \
+        "sub-block layout identical across seeds"
+
+
 def test_vmap_generation(small_cfg, gen_fn):
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     grids = jax.jit(jax.vmap(

@@ -170,6 +170,157 @@ def test_fsm_bit_exact_vs_oracle(algo):
         assert bool(state.light_stop[1]) == oracle.stop[1], f"tick {t} ew"
 
 
+# ---------------------------------------------------------------------------
+# Neighbor controllers: two vertically adjacent groups
+# (`run_neighbor_pressure_control` / `run_neighbor_green_wave`
+# `intersection_light_group.py:496-546`).  Divergence note: the reference
+# steps groups in RandomActivation order, so a neighbor's stored pressure /
+# phase may be same-tick or previous-tick depending on shuffle; this engine
+# (and the oracle below) uses the batched-decide convention — every group
+# reads its neighbors' START-OF-TICK state.
+# ---------------------------------------------------------------------------
+
+H2, W2 = 24, 16
+G2, L2 = 2, 4
+
+
+def make_two_group():
+    queue_group = np.full((H2, W2), -1, np.int32)
+    queue_bucket = np.full((H2, W2), -1, np.int8)
+    lanes = {}
+    for g, ybase in ((0, 4), (1, 16)):
+        ns_in = [(7, ybase + dy) for dy in range(-3, 0)]
+        ns_out = [(7, ybase + dy) for dy in range(2, 4)]
+        ew_in = [(3 + dx, ybase) for dx in range(3)]
+        ew_out = [(10 + dx, ybase) for dx in range(2)]
+        inter = [(7, ybase), (8, ybase), (7, ybase + 1), (8, ybase + 1)]
+        for cells, bucket in ((ns_in, fsm.NS_IN), (ns_out, fsm.NS_OUT),
+                              (ew_in, fsm.EW_IN), (ew_out, fsm.EW_OUT),
+                              (inter, 4)):
+            for x, y in cells:
+                queue_group[y, x] = g
+                queue_bucket[y, x] = bucket
+        lanes[g] = dict(ns_in=ns_in, ns_out=ns_out, ew_in=ew_in,
+                        ew_out=ew_out, inter=inter)
+    grid = SimpleNamespace(queue_group=jnp.asarray(queue_group),
+                           queue_bucket=jnp.asarray(queue_bucket),
+                           group_id=jnp.full((H2, W2), -1, jnp.int32),
+                           cell_type=jnp.zeros((H2, W2), jnp.uint8))
+    # group 0's north neighbor is group 1; group 1's south neighbor is 0
+    neighbor = np.full((G2, 4), -1, np.int32)
+    neighbor[0, 0] = 1    # N
+    neighbor[1, 2] = 0    # S
+    gs = SimpleNamespace(valid=jnp.array([True, True]),
+                         neighbor=jnp.asarray(neighbor),
+                         bbox=jnp.array([[7, 8, 4, 5], [7, 8, 16, 17]],
+                                        jnp.int32),
+                         intersection_size=jnp.array([0.25, 0.25]),
+                         penalty_score=jnp.array([0.0, 0.0]))
+    ls = SimpleNamespace(
+        valid=jnp.ones((L2,), bool),
+        pos=jnp.array([6 * W2 + 6, 9 * W2 + 9, 15 * W2 + 6, 18 * W2 + 9],
+                      jnp.int32),
+        group=jnp.array([0, 0, 1, 1], jnp.int32),
+        axis=jnp.array([0, 1, 0, 1], jnp.int32),
+        assign_road=jnp.zeros((4,), jnp.int32),
+        assign_light=jnp.arange(4, dtype=jnp.int32),
+        assign_valid=jnp.zeros((4,), bool))
+    return grid, gs, ls, lanes
+
+
+class OracleNeighborNet:
+    """Python oracle for the two neighbor controllers over a group graph,
+    batched-decide convention (all groups read start-of-tick neighbor
+    state)."""
+
+    def __init__(self, cfg, neighbor):
+        self.cfg = cfg
+        self.neighbor = neighbor    # {gid: {dir_idx: gid}}
+        self.g = [OracleGroup(cfg) for _ in range(len(neighbor))]
+        self.ns_p = [0.0] * len(self.g)
+        self.ew_p = [0.0] * len(self.g)
+
+    def step(self, queues, occupied):
+        cfg = self.cfg
+        algo = cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM
+        prev_ns = list(self.ns_p)
+        prev_ew = list(self.ew_p)
+        prev_phase = [grp.current_phase for grp in self.g]
+        for i, grp in enumerate(self.g):
+            ns_in, ns_out, ew_in, ew_out = queues[i]
+            if grp.pending_phase is None:
+                if algo == "NEIGHBOR_PRESSURE_CONTROL":
+                    ns_p = float(ns_in - ns_out)
+                    ew_p = float(ew_in - ew_out)
+                    for d, nb in self.neighbor[i].items():
+                        if d in (0, 2):
+                            ns_p -= prev_ns[nb]
+                        else:
+                            ew_p -= prev_ew[nb]
+                    self.ns_p[i] = ns_p
+                    self.ew_p[i] = ew_p
+                    grp.apply_phase(0 if ns_p > ew_p else 1)
+                elif algo == "NEIGHBOR_GREEN_WAVE":
+                    favor_ns = any(prev_phase[nb] == 0
+                                   for d, nb in self.neighbor[i].items()
+                                   if d in (0, 2))
+                    favor_ew = any(prev_phase[nb] == 1
+                                   for d, nb in self.neighbor[i].items()
+                                   if d in (1, 3))
+                    if favor_ns and not favor_ew:
+                        grp.apply_phase(0)
+                    elif favor_ew and not favor_ns:
+                        grp.apply_phase(1)
+                    else:
+                        grp.apply_phase(0 if ns_in > ew_in else 1)
+            grp._execute(occupied[i])
+
+
+@pytest.mark.parametrize("algo", ["NEIGHBOR_PRESSURE_CONTROL",
+                                  "NEIGHBOR_GREEN_WAVE"])
+def test_neighbor_fsm_bit_exact_vs_oracle(algo):
+    cfg = Config(TRAFFIC_LIGHT_AGENT_ALGORITHM=algo)
+    grid, gs, ls, lanes = make_two_group()
+    state = fsm.init_lights_state(cfg, G2, L2, gs.valid)
+    oracle = OracleNeighborNet(cfg, {0: {0: 1}, 1: {2: 0}})
+    rng = np.random.default_rng(7)
+
+    for t in range(300):
+        occ = np.zeros((H2, W2), bool)
+        for g in (0, 1):
+            for kind, p in (("ns_in", 0.45), ("ns_out", 0.2),
+                            ("ew_in", 0.3), ("ew_out", 0.15),
+                            ("inter", 0.1)):
+                for x, y in lanes[g][kind]:
+                    occ[y, x] = rng.random() < p
+        occj = jnp.asarray(occ)
+        queues = []
+        occupied = []
+        for g in (0, 1):
+            queues.append(tuple(
+                sum(occ[y, x] for x, y in lanes[g][k])
+                for k in ("ns_in", "ns_out", "ew_in", "ew_out")))
+            occupied.append(any(occ[y, x] for x, y in lanes[g]["inter"]))
+
+        state = fsm.run_controllers(cfg, grid, gs, state, occj)
+        state = fsm.execute_phase_change(
+            cfg, ls, gs, state, fsm.group_occupied(grid, occj, G2))
+        oracle.step(queues, occupied)
+
+        for g in (0, 1):
+            ocur = oracle.g[g].current_phase
+            opend = oracle.g[g].pending_phase
+            assert int(state.current_phase[g]) == (
+                -1 if ocur is None else ocur), f"tick {t} g{g} phase"
+            assert int(state.pending_phase[g]) == (
+                -1 if opend is None else opend), f"tick {t} g{g} pending"
+            if algo == "NEIGHBOR_PRESSURE_CONTROL":
+                assert float(state.ns_pressure[g]) == oracle.ns_p[g], \
+                    f"tick {t} g{g} ns_p"
+                assert float(state.ew_pressure[g]) == oracle.ew_p[g], \
+                    f"tick {t} g{g} ew_p"
+
+
 def test_stop_map_scatter():
     cfg = Config()
     grid, gs, ls = make_synthetic()

@@ -51,6 +51,8 @@ class Capacities:
     max_spawns_per_tick: int
     max_rain: int             # simultaneous rain clouds
     path_lookahead: int       # cells of route unrolled for obstacle scan
+    max_queue_cells: int      # labeled lane + intersection cells (compact
+    #                           queue list; see fsm.group_reductions)
 
 
 DEFAULT_TIME_ZONES: Tuple[TimeZone, ...] = (
@@ -101,6 +103,10 @@ class Config:
 
     # blocks -----------------------------------------------------------------
     BLOCK_ENTRANCE_ROAD_LEVEL: int = 0
+    # Compatibility-only: declared in the reference config
+    # (`config.py:27`) but read by NO reference code — entrance placement
+    # (`city_model.py:884-963`) only honors BLOCK_ENTRANCE_ROAD_LEVEL.
+    # Kept for config-API parity; intentionally unread here too.
     BLOCK_ENTRANCE_AVOID_TRAFFIC_LIGHTS: bool = True
     MIN_BLOCK_SPACING: int = 6
     MAX_BLOCK_SPACING: int = 18
@@ -490,6 +496,11 @@ class Config:
             max_spawns_per_tick=64,
             max_rain=self.RAIN_OCCURRENCES_MAX,
             path_lookahead=self.VEHICLE_AWARENESS_RANGE,
+            # per group: <= 8 lanes x (range+1) cells of queue labels plus
+            # the intersection cells themselves (clearance bucket)
+            max_queue_cells=min(
+                self.WIDTH * self.HEIGHT,
+                max_groups * (8 * (self.TRAFFIC_LIGHT_RANGE + 1) + 64)),
         )
 
     def replace(self, **kw) -> "Config":

@@ -59,6 +59,12 @@ class GroupStatic:
     bbox: jnp.ndarray         # i32 [G, 4] (minx, maxx, miny, maxy)
     intersection_size: jnp.ndarray  # f32 [G] = |cells| / 16
     penalty_score: jnp.ndarray      # f32 [G] mean road-type penalty
+    # compact queue list: the nonzero cells of (queue_group, queue_bucket),
+    # so per-tick queue reductions gather Q elements instead of
+    # scatter-adding the whole grid (TPU scatters are ~19 cycles/element)
+    queue_cells: jnp.ndarray    # i32 [Q] flat cell index (clipped; pad ok)
+    queue_qgroup: jnp.ndarray   # i32 [Q] owning group (-1 pad)
+    queue_qbucket: jnp.ndarray  # i32 [Q] bucket 0..3 lanes, 4 intersection
 
 
 @struct.dataclass

@@ -160,6 +160,14 @@ def generate_city(cfg: Config, key: jnp.ndarray):
         assign_light=lg["assign_light"],
         assign_valid=lg["assign_valid"],
     )
+    # compact queue-cell list: gathering Q labeled cells per tick replaces
+    # the full-grid scatter-add in the light reductions
+    qgf = lg["queue_group"].reshape(-1)
+    qbf = lg["queue_bucket"].reshape(-1).astype(jnp.int32)
+    Q = caps.max_queue_cells
+    qidx = jnp.nonzero(qgf >= 0, size=Q, fill_value=HW)[0].astype(jnp.int32)
+    qcell = jnp.clip(qidx, 0, HW - 1)
+    qvalid = qidx < HW
     groups_static = GroupStatic(
         valid=lg["group_valid"],
         neighbor=lg["group_neighbor"],
@@ -167,6 +175,9 @@ def generate_city(cfg: Config, key: jnp.ndarray):
         bbox=lg["group_bbox"],
         intersection_size=lg["intersection_size"],
         penalty_score=lg["penalty_score"],
+        queue_cells=qcell,
+        queue_qgroup=jnp.where(qvalid, qgf[qcell], -1),
+        queue_qbucket=jnp.where(qvalid, qbf[qcell], 0),
     )
 
     zone_codes = jnp.array(C.ZONE_TYPES, dtype=jnp.uint8)

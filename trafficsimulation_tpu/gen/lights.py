@@ -229,8 +229,12 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     # directions labeling outgoing road cells; intersections handled per
     # FORWARD_TRAFFIC_LIGHT_INTERSECTIONS ("Skip" passes over them,
     # "Include in Range" labels and consumes range, "Include as Extra"
-    # labels for free).  The reference's directly_leads_to recursion
-    # (opposite-lane hops) is not modeled.
+    # labels for free).  The reference's `directly_leads_to` recursion
+    # (`cell.py:229-239`) makes opposite-lane cells transparent: the walk
+    # passes through same-type cells that flow back toward the light
+    # without labeling them and without consuming scan depth — expressed
+    # here by keeping `alive` through all same-type cells and charging
+    # depth only for labeled cells.
     if cfg.FORWARD_TRAFFIC_LIGHT_RANGE:
         mode = cfg.FORWARD_TRAFFIC_LIGHT_INTERSECTIONS
         for d in range(4):
@@ -271,7 +275,7 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
                     jnp.where(ok_put, a_light, light_of_cell[tgt]))
                 consumed = jnp.where(
                     is_int, jnp.int32(mode == "Include in Range"),
-                    jnp.int32(1))
+                    jnp.where(label_road, 1, 0))
                 depth = depth + jnp.where(alive & inb, consumed, 0)
                 alive = alive & inb & (is_int | same) & in_range
         del mode

@@ -53,19 +53,32 @@ def init_lights_state(cfg: Config, num_groups: int, num_lights: int,
     )
 
 
-def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int):
-    """One segment-sum over the label planes yields per-group
+def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
+                     gs: GroupStatic = None):
+    """One segment-sum over the queue labels yields per-group
     (ns_in, ns_out, ew_in, ew_out) queue counts AND the intersection
     occupancy flag (bucket 4) — the njit reducers
     (`compute_approach_queue` `numba_utilities.py:65-72`) plus
     `is_intersection_occupied` (`intersection_light_group.py:284-291`)
-    in a single scatter."""
+    in a single scatter.
+
+    With `gs` (the compact queue list from generation) the reduction
+    gathers only the Q labeled cells instead of scatter-adding the whole
+    grid — TPU scatters cost ~19 cycles/element of the *source*, so this
+    is the difference between O(Q) and O(H*W) per tick."""
     G = num_groups
-    qg = grid.queue_group.reshape(-1)
-    qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
-    seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
-    occ = occupancy.reshape(-1).astype(jnp.int32)
-    sums = jnp.zeros((G * 5 + 1,), jnp.int32).at[seg].add(occ)
+    occ = occupancy.reshape(-1)
+    if gs is not None:
+        vals = occ[gs.queue_cells] & (gs.queue_qgroup >= 0)
+        seg = jnp.where(gs.queue_qgroup >= 0,
+                        gs.queue_qgroup * 5 + gs.queue_qbucket, G * 5)
+    else:
+        qg = grid.queue_group.reshape(-1)
+        qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
+        seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
+        vals = occ
+    sums = jnp.zeros((G * 5 + 1,), jnp.int32).at[seg].add(
+        vals.astype(jnp.int32))
     q = sums[:G * 5].reshape(G, 5)
     return (q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT],
             q[:, 4] > 0)

@@ -370,10 +370,51 @@ def _sat_add1(field_i32, cap):
     return jnp.minimum(field_i32 + 1, cap)
 
 
-def step_engine(cfg: Config, world, es: EngineState) -> EngineState:
+def routing_planes(cfg: Config, world, es: EngineState) -> jnp.ndarray:
+    """Build the per-destination next-move planes (`build_sdir`) from the
+    CURRENT dynamic state (density, stops, stranded vehicles).
+
+    Called once per PATHFINDING_COOLDOWN ticks (`run_chunk`), not per
+    tick: the reference replans a vehicle's path at most every
+    `PATHFINDING_COOLDOWN`=5 ticks (`vehicle_base.py:147`,
+    `config.py:409`), so dynamic-penalty staleness up to R-1 ticks is
+    in-spec.  Collision safety never depends on this: movement re-checks
+    live occupancy/stops per sub-round (`subround`'s bb byte)."""
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    grid = world.grid
+    pa = es.pa
+    present = (pa & 1) == 1
+    density = density_map(present, grid.is_road,
+                          cfg.VEHICLE_AWARENESS_RANGE)
+    col0 = _bit(pa, PA_COL_SH)
+    mal0 = _bit(pa, PA_MAL_SH)
+    parked = _bit(pa, PA_PARKED_SH)
+    stranded_occ = present & (col0 | mal0 | parked)
+    occ_moving = present & ~stranded_occ
+    if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
+        vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
+            1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density)
+    else:
+        vp = jnp.full((H, W), cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
+    soft = jnp.where(occ_moving, vp, 0.0) + jnp.where(
+        es.stop_map, jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
+    enter_stat = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
+    enter2 = jnp.round(2.0 * (enter_stat + soft)).astype(jnp.int32)
+    hard = stranded_occ
+    if cfg.PEDESTRIANS_ENABLED:
+        hard = hard | (es.ped_map > 0)
+    return build_sdir(cfg, world.cost_field, grid.allowed_dirs,
+                      grid.is_road, enter2, hard)
+
+
+def step_engine(cfg: Config, world, es: EngineState,
+                sdir: jnp.ndarray = None) -> EngineState:
     """One simulation tick on the plane representation.  Mirrors the
     reference tick order (`CityModel.step` `city_model.py:1831-1860`) —
-    see module docstring for the semantics mapping."""
+    see module docstring for the semantics mapping.
+
+    `sdir`: precomputed routing planes (see `routing_planes`); rebuilt
+    from the current state when not supplied."""
     caps = cfg.capacities()
     H, W = cfg.HEIGHT, cfg.WIDTH
     HW = H * W
@@ -415,7 +456,8 @@ def step_engine(cfg: Config, world, es: EngineState) -> EngineState:
             cfg, rl_state, grid, world.groups_static, lights,
             occupancy, stuck_map, trip_penalty, k_rl)
         rl_request = (want, phase_req)
-    red = fsm.group_reductions(grid, occupancy, caps.max_groups)
+    red = fsm.group_reductions(grid, occupancy, caps.max_groups,
+                               gs=world.groups_static)
     lights = fsm.run_controllers(cfg, grid, world.groups_static, lights,
                                  occupancy, rl_phase_request=rl_request,
                                  reductions=red[:4])
@@ -502,24 +544,10 @@ def step_engine(cfg: Config, world, es: EngineState) -> EngineState:
     speed = jnp.where(halted, 0, speed)
     base = jnp.where(halted, 0, base)
 
-    # dynamic routing costs (`dynamic_soft_costs` cost model)
-    stranded_occ = present & (col0 | mal0 | parked)
-    occ_moving = present & ~stranded_occ
-    if cfg.VEHICLE_DYNAMIC_PENALTIES_ENABLED:
-        vp = cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE * (
-            1.0 + cfg.VEHICLE_DYNAMIC_PENALTY_SCALE * density)
-    else:
-        vp = jnp.full((H, W), cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
-    soft = jnp.where(occ_moving, vp, 0.0) + jnp.where(
-        stop_map, jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
-    enter_stat = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
-    enter2 = jnp.round(2.0 * (enter_stat + soft)).astype(jnp.int32)
-    hard = stranded_occ
-    if ped_plane is not None:
-        hard = hard | ped_plane
-
-    sdir = build_sdir(cfg, world.cost_field, grid.allowed_dirs,
-                      grid.is_road, enter2, hard)
+    # routing planes: precomputed per PATHFINDING_COOLDOWN segment, or
+    # rebuilt here for the single-tick path (see `routing_planes`)
+    if sdir is None:
+        sdir = routing_planes(cfg, world, es)
     dest14 = _fld(pa, PA_DEST_SH, 14)
     nd0 = select_dest_rows(sdir, dest14)
     dir0, contra0 = resolve_dir(nd0, head1)
@@ -718,32 +746,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pa, pb, pc, pd, pe, pl = planes
     present = (pa & 1) == 1
     kind = _fld(pa, PA_KIND_SH, 2)
-    dest14 = _fld(pa, PA_DEST_SH, 14)
-    cell_dest = grid.dest_id
-    at_dest = present & (cell_dest >= 0) & (dest14 == cell_dest)
-    dur = elapsed - _fld(pc, PC_DEPART_SH, 20).astype(jnp.float32) * dt
-    steps = _fld(pc, PC_STEPS_SH, 12)
 
-    # ---- normal arrivals (`on_target_reached`) ----------------------------
-    done = at_dest & (kind <= KIND_THROUGH)
-    done_i = done & (kind == KIND_INTERNAL)
-    done_t = done & (kind == KIND_THROUGH)
-    m = m.replace(
-        completed_internal=m.completed_internal + jnp.sum(done_i),
-        completed_through=m.completed_through + jnp.sum(done_t),
-        sum_duration_internal=m.sum_duration_internal + jnp.sum(
-            jnp.where(done_i, dur, 0.0)),
-        sum_duration_through=m.sum_duration_through + jnp.sum(
-            jnp.where(done_t, dur, 0.0)),
-        sum_steps_internal=m.sum_steps_internal + jnp.sum(
-            jnp.where(done_i, steps, 0)),
-        sum_steps_through=m.sum_steps_through + jnp.sum(
-            jnp.where(done_t, steps, 0)),
-        malfunctions_total=m.malfunctions_total + events[0],
-        collisions_total=m.collisions_total + events[1])
-
-    # ---- service FSM in destination space (service vehicles interact
-    # only at the static destination cells) ---------------------------------
+    # ---- arrivals + service FSM in destination space ----------------------
+    # Arrivals can only happen at the (few, static) destination cells, so
+    # every arrival metric reduces over the [Dall] gathered rows instead
+    # of the full grid (TPU reductions have a fixed multi-pass cost per
+    # plane; ~15 grid-wide sums here were 25% of the tick).
     Dall = dests.pos.shape[0]
     B = bs.valid.shape[0]
     dpos = jnp.clip(dests.pos, 0, HW - 1)
@@ -755,6 +763,27 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     is_here = dests.valid & ((pa_d & 1) == 1) & \
         (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
     kind_d = _fld(pa_d, PA_KIND_SH, 2)
+    dur_d = elapsed - _fld(pcf[dpos], PC_DEPART_SH, 20).astype(
+        jnp.float32) * dt
+    steps_d = _fld(pcf[dpos], PC_STEPS_SH, 12)
+
+    # ---- normal arrivals (`on_target_reached`) ----------------------------
+    done_d = is_here & (kind_d <= KIND_THROUGH)
+    done_i = done_d & (kind_d == KIND_INTERNAL)
+    done_t = done_d & (kind_d == KIND_THROUGH)
+    m = m.replace(
+        completed_internal=m.completed_internal + jnp.sum(done_i),
+        completed_through=m.completed_through + jnp.sum(done_t),
+        sum_duration_internal=m.sum_duration_internal + jnp.sum(
+            jnp.where(done_i, dur_d, 0.0)),
+        sum_duration_through=m.sum_duration_through + jnp.sum(
+            jnp.where(done_t, dur_d, 0.0)),
+        sum_steps_internal=m.sum_steps_internal + jnp.sum(
+            jnp.where(done_i, steps_d, 0)),
+        sum_steps_through=m.sum_steps_through + jnp.sum(
+            jnp.where(done_t, steps_d, 0)),
+        malfunctions_total=m.malfunctions_total + events[0],
+        collisions_total=m.collisions_total + events[1])
     is_svc = is_here & (kind_d >= KIND_FOOD)
     phase_d = _fld(pd_d, PD_PHASE_SH, 2)
     sb_raw = _fld(pd_d, PD_BLOCK_SH, 16)
@@ -831,8 +860,6 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     # vehicles carry population_type="through", `vehicle_service.py:36`)
     svc_done_d = is_here & (kind_d >= KIND_FOOD) & \
         (_fld(pd_d, PD_PHASE_SH, 2) == 2) & (dests.kind == 1)
-    dur_d = dur.reshape(-1)[dpos]
-    steps_d = _fld(pcf[dpos], PC_STEPS_SH, 12)
     m = m.replace(
         completed_through=m.completed_through + jnp.sum(svc_done_d),
         completed_service=m.completed_service + jnp.sum(svc_done_d),
@@ -842,9 +869,9 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
             jnp.where(svc_done_d, steps_d, 0)))
 
     # ---- despawns ----------------------------------------------------------
-    svc_done_plane = jnp.zeros((HW + 1,), bool).at[
-        jnp.where(svc_done_d, dpos, HW)].set(svc_done_d)[:HW].reshape(H, W)
-    despawn = done | svc_done_plane
+    despawn_d = done_d | svc_done_d
+    despawn = jnp.zeros((HW + 1,), bool).at[
+        jnp.where(despawn_d, dpos, HW)].set(despawn_d)[:HW].reshape(H, W)
 
     if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
         stuck_v = _fld(pb, PB_STUCK_SH, 12)
@@ -866,10 +893,9 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     else:
         # arrivals only happen at destination cells: free those slots
         # with a Dall-sized scatter
-        freed_d = despawn.reshape(-1)[dpos] & dests.valid
         slot_f = pe.reshape(-1)[dpos].astype(jnp.int32)
         slot_used = slot_used.at[
-            jnp.where(freed_d, jnp.clip(slot_f, 0, V - 1), V)].set(
+            jnp.where(despawn_d, jnp.clip(slot_f, 0, V - 1), V)].set(
             False, mode="drop")
 
     planes = _clear_veh((pa, pb, pc, pd, pe, pl), despawn)
@@ -951,7 +977,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     new_day = ((off + elapsed) // 86400).astype(jnp.int32)
     rolled = new_day > m.day
     tick_created = jnp.sum(can & (tkind <= KIND_THROUGH))
-    tick_finished = jnp.sum(done) + jnp.sum(svc_done_d)
+    tick_finished = jnp.sum(done_d) + jnp.sum(svc_done_d)
     m = m.replace(
         last_daily_difference=jnp.where(
             rolled, m.daily_finished - m.daily_created,

@@ -184,14 +184,32 @@ def step_world(cfg: Config, world: World) -> World:
 
 
 def run_chunk(cfg: Config, world: World, n: int) -> World:
-    """Advance n ticks inside one lax.scan (fused device loop).  The
-    SoA <-> plane conversion happens once per chunk, not per tick."""
+    """Advance n ticks inside nested lax.scans.  The SoA <-> plane
+    conversion happens once per chunk; the routing planes are rebuilt at
+    the chunk start and then once per PATHFINDING_COOLDOWN ticks — the
+    reference replans a vehicle's path at most every
+    `PATHFINDING_COOLDOWN`=5 ticks (`vehicle_base.py:147`,
+    `config.py:409`), so dynamic-penalty staleness within a segment is
+    in-spec.  Movement safety is unaffected (live occupancy/stop checks
+    happen per sub-round)."""
     es = _enter_engine(cfg, world)
+    R = max(1, cfg.PATHFINDING_COOLDOWN) if cfg.PATHFINDING_CACHE else 1
 
-    def body(e, _):
-        return engine.step_engine(cfg, world, e), None
+    def seg(e, length):
+        sdir = engine.routing_planes(cfg, world, e)
 
-    es, _ = jax.lax.scan(body, es, None, length=n)
+        def body(e2, _):
+            return engine.step_engine(cfg, world, e2, sdir=sdir), None
+
+        e, _ = jax.lax.scan(body, e, None, length=length)
+        return e
+
+    q, r = divmod(n, R)
+    if q:
+        es, _ = jax.lax.scan(lambda e, _: (seg(e, R), None), es, None,
+                             length=q)
+    if r:
+        es = seg(es, r)
     return _exit_engine(cfg, world, es)
 
 
@@ -420,6 +438,8 @@ def measure_and_shrink(cfg: Config, world: World):
                          world.blocks_static, world.dests)
     caps = cfg.capacities()
 
+    n_queue = _pow2(int((np.asarray(gs.queue_qgroup) >= 0).sum()) + 1)
+    n_queue = min(n_queue, gs.queue_cells.shape[0])
     n_lights = _pow2(int(np.asarray(ls.valid).sum()) + 1)
     n_assign = _pow2(int(np.asarray(ls.assign_valid).sum()) + 1)
     n_groups = _pow2(max(int(np.asarray(world.grid.group_id).max()),
@@ -440,7 +460,8 @@ def measure_and_shrink(cfg: Config, world: World):
     cfg2 = cfg.replace(CAP_OVERRIDES=(
         ("max_lights", n_lights), ("max_groups", n_groups),
         ("max_blocks", n_blocks), ("max_dests", n_dests),
-        ("max_exits", n_exits), ("max_entrances_hw", n_exits)),
+        ("max_exits", n_exits), ("max_entrances_hw", n_exits),
+        ("max_queue_cells", n_queue)),
         MAX_FIELD_DESTS=DF)
 
     sl = lambda a, n: a[:n]
@@ -456,7 +477,10 @@ def measure_and_shrink(cfg: Config, world: World):
             intermediates=sl(gs.intermediates, n_groups),
             bbox=sl(gs.bbox, n_groups),
             intersection_size=sl(gs.intersection_size, n_groups),
-            penalty_score=sl(gs.penalty_score, n_groups)),
+            penalty_score=sl(gs.penalty_score, n_groups),
+            queue_cells=sl(gs.queue_cells, n_queue),
+            queue_qgroup=sl(gs.queue_qgroup, n_queue),
+            queue_qbucket=sl(gs.queue_qbucket, n_queue)),
         blocks_static=jax.tree.map(lambda a: a[:n_blocks], bs),
         dests=dests.replace(
             valid=sl(dests.valid, n_dests), pos=sl(dests.pos, n_dests),
