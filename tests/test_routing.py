@@ -15,14 +15,17 @@ from trafficsimulation_tpu.ops.routing import (compute_cost_fields,
 from trafficsimulation_tpu.config import Config
 
 
-def dijkstra_oracle(cfg, allowed, road_class, dest_flat):
+def dijkstra_oracle(cfg, allowed, road_class, dest_flat, is_road=None):
     """Exact cost-to-go F[h, y, x] by backward Dijkstra on the reversed
-    (cell, heading) graph."""
+    (cell, heading) graph.  With `is_road`, includes contraflow edges
+    onto road cells at +VEHICLE_CONTRAFLOW_PENALTY (the reference A*'s
+    `ignore_flow` cost model, `astar_numba.py:184-214`)."""
     H, W = allowed.shape
     pen = {0: 0.0, 1: cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
            2: cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
            3: cfg.VEHICLE_ROAD_TYPES_PENALTY_R3}
     tp = cfg.VEHICLE_TURN_PENALTY
+    cp = cfg.VEHICLE_CONTRAFLOW_PENALTY
     F = np.full((4, H, W), np.inf)
     pq = []
     dy, dx = C.DIR_DY, C.DIR_DX
@@ -39,9 +42,11 @@ def dijkstra_oracle(cfg, allowed, road_class, dest_flat):
         py, px = y - dy[h], x - dx[h]
         if not (0 <= py < H and 0 <= px < W):
             continue
-        if not (allowed[py, px] & (1 << h)):
+        legal = bool(allowed[py, px] & (1 << h))
+        contra_ok = is_road is not None and bool(is_road[y, x])
+        if not (legal or contra_ok):
             continue
-        base = 1.0 + pen[int(road_class[y, x])]
+        base = 1.0 + pen[int(road_class[y, x])] + (0.0 if legal else cp)
         for hp in range(4):
             nd = d + base + (tp if hp != h else 0.0)
             if nd < F[hp, py, px]:
@@ -59,7 +64,8 @@ def test_field_matches_dijkstra(small_cfg, small_city):
     for d in [0, 1, int(np.nonzero(valid)[0][-1] if valid[:2].all() else 0)]:
         if d >= field.shape[0] or not valid[d]:
             continue
-        oracle = dijkstra_oracle(small_cfg, allowed, rc, pos[d])
+        oracle = dijkstra_oracle(small_cfg, allowed, rc, pos[d],
+                                 is_road=np.asarray(grid.is_road))
         got = np.asarray(field[d])
         finite = np.isfinite(oracle)
         assert np.allclose(got[finite], oracle[finite], atol=1e-3), \
@@ -75,8 +81,13 @@ def test_cross_backend_field_vs_native_astar(small_cfg, small_city):
     if not nat.available():
         import pytest
         pytest.skip("native toolchain unavailable")
-    grid, _, _, _, dests, field = small_city
+    grid, _, _, _, dests, _ = small_city
     H, W = grid.cell_type.shape
+    # legal-flow-only field: the native A* below runs in strict mode
+    # (no contraflow), so compare against the strict optimum
+    field = compute_cost_fields(small_cfg, grid.allowed_dirs,
+                                grid.road_class, dests.pos[:2],
+                                dests.valid[:2])
     allowed = np.asarray(grid.allowed_dirs)
     rc = np.asarray(grid.road_class)
     is_road = np.asarray(grid.is_road)
@@ -155,7 +166,10 @@ def test_descent_reaches_destination(small_cfg, small_city):
     pos = jnp.asarray(starts, jnp.int32)
     heading = jnp.full((V,), -1, jnp.int32)
     dest = jnp.full((V,), d, jnp.int32)
-    nc = jnp.zeros((V,), bool)
+    # the field includes contraflow edges (reference ignore_flow model),
+    # so walkers must be granted the matching allowance to descend
+    # everywhere the field is finite
+    nc = jnp.ones((V,), bool)
     for _ in range(4 * (H + W)):
         dr, nxt, cost = route_argmin(small_cfg, H, W, allowed_flat,
                                      enter_flat, is_road_flat, field, pos,

@@ -61,11 +61,29 @@ def timeit(cfg, world, label):
 def main():
     cfg, world = build_world()
     base = timeit(cfg, world, "full tick")
+    timeit(cfg.replace(USE_PALLAS_ENGINE=False), world,
+           "  - pallas kernel off (XLA core)")
+
+    # ---- decide+movement removed entirely ---------------------------------
+    orig_core = engine.pallas_engine.decide_move_core
+    orig_pk = engine.pallas_engine.decide_move_pallas
+
+    def fake_core(cfg_, shift, select, pa, pb, pc, pd, pe, pl, *rest):
+        return (pa, pb, pc, pd, pe, pl,
+                jnp.zeros(pa.shape, jnp.uint8))
+
+    engine.pallas_engine.decide_move_core = fake_core
+    engine.pallas_engine.decide_move_pallas = \
+        lambda cfg_, sdir, planes, *rest, **kw: planes + (
+            jnp.zeros(planes[0].shape, jnp.uint8),)
+    no_dm = timeit(cfg, world, "  - decide+movement removed")
+    engine.pallas_engine.decide_move_core = orig_core
+    engine.pallas_engine.decide_move_pallas = orig_pk
 
     # ---- stub build_sdir: constant plane --------------------------------
     orig_build = engine.build_sdir
     D = world.cost_field.shape[0]
-    const_sdir = jnp.full((D, H, W), jnp.uint8(7))
+    const_sdir = jnp.full((D, H, W), jnp.uint16(engine.ND_NONE))
     engine.build_sdir = lambda *a, **k: const_sdir
     no_sdir = timeit(cfg, world, "  - build_sdir stubbed")
     engine.build_sdir = orig_build
@@ -73,7 +91,7 @@ def main():
     # ---- stub select_dest_rows ------------------------------------------
     orig_sel = engine.select_dest_rows
     engine.select_dest_rows = lambda sdir, dest: jnp.full(
-        dest.shape, jnp.uint8(7))
+        dest.shape, jnp.uint16(engine.ND_NONE))
     no_sel = timeit(cfg, world, "  - select_dest_rows stubbed")
     engine.select_dest_rows = orig_sel
 
@@ -95,8 +113,8 @@ def main():
     orig_exec = fsm.execute_phase_change
     orig_stop = fsm.build_stop_map
     G = cfg.capacities().max_groups
-    fsm.group_reductions = lambda grid, occ, mg: jnp.zeros((5, mg),
-                                                           jnp.int32)
+    fsm.group_reductions = lambda grid, occ, mg, gs=None: jnp.zeros(
+        (5, mg), jnp.int32)
     fsm.run_controllers = \
         lambda cfg_, grid, gs, lights, occ, **k: lights
     fsm.execute_phase_change = lambda cfg_, ls, gs, lights, occ5: lights
@@ -132,7 +150,7 @@ def main():
 
     # ---- floor: empty tick -------------------------------------------------
     orig_step = engine.step_engine
-    engine.step_engine = lambda cfg_, world_, es: es.replace(
+    engine.step_engine = lambda cfg_, world_, es, sdir=None: es.replace(
         tick=es.tick + 1)
     floor = timeit(cfg, world, "  - EMPTY tick (scan floor)")
     engine.step_engine = orig_step
@@ -144,6 +162,7 @@ def main():
     print(f"{'lights':26s} ~{base - no_lights:7.3f} ms")
     print(f"{'density':26s} ~{base - no_density:7.3f} ms")
     print(f"{'post_move':26s} ~{base - no_post:7.3f} ms")
+    print(f"{'decide+movement (all)':26s} ~{base - no_dm:7.3f} ms")
     print(f"{'scan floor':26s} ~{floor:7.3f} ms")
 
 

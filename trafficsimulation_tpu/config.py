@@ -339,6 +339,10 @@ class Config:
     CACHE_CELL_PORTRAYAL: bool = True
     CUDA_GPU_ENABLED: bool = False
     CHANGE_ASSIGNED_CELL_COLOR_ON_STOP: bool = False
+    # Fused decide+movement as one VMEM-resident Pallas TPU kernel
+    # (ops/pallas_engine.py); automatically falls back to the identical
+    # XLA implementation off-TPU or when the grid exceeds VMEM.
+    USE_PALLAS_ENGINE: bool = True
 
     # colors (reference `config.py:297-332`; the renderer palette in
     # `codes.py` is derived from these CSS names)

@@ -204,5 +204,6 @@ def generate_city(cfg: Config, key: jnp.ndarray):
 
     DF = min(caps.max_dests, cfg.MAX_FIELD_DESTS or caps.max_dests)
     cost_field = compute_cost_fields(cfg, allowed, road_class,
-                                     dest_pos[:DF], dest_valid[:DF])
+                                     dest_pos[:DF], dest_valid[:DF],
+                                     is_road=is_road)
     return grid, lights_static, groups_static, blocks_static, dests, cost_field

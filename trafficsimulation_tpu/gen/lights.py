@@ -18,9 +18,9 @@ Parity notes:
   `leads_to` (`cell.py:201-227`), which is almost always true on the
   connected road graph; the dir-bit test is the lane-local meaning.
 * neighbor-group discovery walks a straight ray from the group bbox
-  center instead of replicating `blocks_all_lanes`
-  (`intersection_light_group.py:185-202`); intermediate groups are not
-  tracked yet.
+  center with a bbox-extent `blocks_all_lanes` test
+  (`intersection_light_group.py:185-202`); passed-over smaller groups
+  are recorded as intermediates.
 """
 
 from __future__ import annotations

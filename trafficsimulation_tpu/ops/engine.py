@@ -36,6 +36,7 @@ from ..config import Config
 from ..core.state import Vehicles
 from .routing import _shift_plane as nbr  # value at the d-neighbor
 from . import routing
+from . import pallas_engine
 
 # ---------------------------------------------------------------------------
 # Plane bit layouts
@@ -104,16 +105,24 @@ def field_to_u16(F: jnp.ndarray) -> jnp.ndarray:
 def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
                is_road: jnp.ndarray, enter2: jnp.ndarray,
                hard: jnp.ndarray) -> jnp.ndarray:
-    """Per-destination next-move byte plane u8 [D, H, W].
+    """Per-destination next-move plane u16 [D, H, W].
 
-    Encoding: bits 0-2 best move direction (7 = no move), bit 3 = best
-    move is contraflow, bits 4-7 = heading h may continue straight
-    instead (within TURN_PENALTY of best; straight bits are only set for
-    *legal* moves).  This is the compact form of round-1's
-    `next_dir_planes` [D, 5, H, W] (`ops/routing.py`): the per-heading
-    slots collapse into the straight-ok bits, cutting the per-tick plane
-    traffic 5x — the fix for VERDICT r1 weak #1 (batched worlds were
-    HBM-bound on the plane rebuild).
+    Low byte — static descent (the compact form of round-1's
+    `next_dir_planes` [D, 5, H, W]): bits 0-2 best move direction (7 =
+    no move), bit 3 = best move is contraflow, bits 4-7 = heading h may
+    continue straight instead (within TURN_PENALTY of best; straight
+    bits are only set for *legal* moves).
+
+    High nibble — the overtake merge WAVEFRONT, the array form of the
+    reference's phase-3 contraflow splice (`vehicle_base.py:309-366`):
+    for each destination, "merge cells" are the free cells immediately
+    downstream (along the static flow) of a hard blocker; a bounded
+    backward wavefront (<= VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS) labels
+    each nearby cell with the descent direction toward the nearest merge
+    cell.  Bits 8-10 = wavefront move direction (7 = none), bit 11 = that
+    move is contraflow.  Only vehicles holding a contraflow allowance
+    follow the wavefront (engine `resolve_dir`); everyone else uses the
+    static byte, so opposite-lane through-traffic is unaffected.
 
     enter2: i32 [H, W] = round(2 * (1 + road_penalty + soft dynamic
     costs)) of the cell being entered; hard: impassable cells
@@ -125,19 +134,24 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
     tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
     cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
+    K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
+    BIGW = jnp.int32(127)
 
     legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
     # additive entry cost per move direction (u16-saturated; BIG when the
     # target is blocked).  Shifted once, reused across all destinations.
     pen_m = []
+    can_mv = []   # wavefront move permission: onto road, not hard
     for m in range(4):
         en = nbr(enter2, m, jnp.int32(60000))
         hd = nbr(hard, m, True)
         rd = nbr(is_road, m, False)
         ok = (legal[m] | rd) & ~hd
+        can_mv.append(ok)
         pen = en + jnp.where(legal[m], 0, cp2)
         pen_m.append(jnp.where(ok, jnp.minimum(pen, 60000),
                                jnp.int32(1 << 17)).astype(jnp.int32))
+    road_free = is_road & ~hard
 
     def block(rows):
         """Encode a [DB, 4, H, W] block of field rows (vectorized over
@@ -164,7 +178,39 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
             sraw = jnp.where(legal[h][None], cands[h], BIG)
             ok_h = (sraw <= best + tp2) & (sraw < BIG)
             enc = enc | (ok_h.astype(jnp.uint8) << (4 + h))
-        return jnp.where(none, jnp.uint8(7), enc)
+        stat = jnp.where(none, jnp.uint8(7), enc)
+
+        # ---- overtake merge wavefront -----------------------------------
+        # merge cells: free road cells one static-flow step downstream of
+        # a hard cell (the "first free cell past the blocker",
+        # `vehicle_base.py:309-366`)
+        bd = (stat & 7).astype(jnp.int32)
+        src = jnp.zeros(stat.shape, bool)
+        for m in range(4):
+            src = src | nbr(hard[None] & (bd == m), C.opposite(m), False)
+        src = src & road_free[None]
+        Wv = jnp.where(src, 0, BIGW)
+        for _ in range(K_OVT):
+            nv = Wv
+            for m in range(4):
+                c = jnp.where(can_mv[m][None], nbr(Wv, m, BIGW), BIGW) + 1
+                nv = jnp.minimum(nv, c)
+            Wv = jnp.minimum(nv, BIGW)
+        wbest = jnp.full(Wv.shape, BIGW)
+        warg = jnp.full(Wv.shape, jnp.uint16(7))
+        for m in range(4):
+            c = jnp.where(can_mv[m][None], nbr(Wv, m, BIGW), BIGW)
+            upd = c < wbest
+            wbest = jnp.where(upd, c, wbest)
+            warg = jnp.where(upd, jnp.uint16(m), warg)
+        wvalid = (Wv <= K_OVT) & (wbest < Wv)
+        wcontra = ~(jnp.where(warg == 0, legal[0][None],
+                    jnp.where(warg == 1, legal[1][None],
+                    jnp.where(warg == 2, legal[2][None], legal[3][None]))))
+        wbits = jnp.where(wvalid,
+                          warg | (wcontra.astype(jnp.uint16) << 3),
+                          jnp.uint16(7))
+        return stat.astype(jnp.uint16) | (wbits << 8)
 
     # block over destinations: vector-wide math, bounded transients
     # (a [DB, 4, H, W] slice copy stays ~8 MB so vmapped world batches
@@ -182,30 +228,57 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
             out, block(rows), i * DB, axis=0)
 
     return jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((D, H, W), jnp.uint8))
+        0, nblk, body, jnp.zeros((D, H, W), jnp.uint16))
+
+
+ND_NONE = 7 | (7 << 8)   # no static move, no wavefront
 
 
 def select_dest_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     """nd[y, x] = sdir[dest[y, x], y, x] as one masked reduction over the
     destination axis (TPU random gathers cost ~19 cycles/element; a
-    fused D-wide masked max reads sdir once at vector bandwidth)."""
+    fused D-wide masked max reads sdir once at vector bandwidth).
+    Returns i32 (matching `pallas_engine.select_rows_pallas`)."""
     D = sdir.shape[0]
     ids = jnp.arange(D, dtype=jnp.int32)[:, None, None]
     hit = dest[None] == ids
-    sel = jnp.max(jnp.where(hit, sdir, jnp.uint8(0)), axis=0)
+    sel = jnp.max(jnp.where(hit, sdir, jnp.zeros((), sdir.dtype)), axis=0)
     any_hit = jnp.any(hit, axis=0)
-    return jnp.where(any_hit, sel, jnp.uint8(7))
+    return jnp.where(any_hit, sel,
+                     jnp.asarray(ND_NONE, sdir.dtype)).astype(jnp.int32)
 
 
-def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray):
-    """Per-cell move direction from the sdir byte and heading (+1).
-    Returns (dir [H,W] i32 with 7 = none, contra bool)."""
+def select_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatch for the destination-row select: the streaming
+    Pallas kernel on TPU (HBM-bandwidth bound), the masked reduction
+    elsewhere.  Both return the same i32 nd plane."""
+    if _on_tpu():
+        from . import pallas_engine as PE
+        return PE.select_rows_pallas(sdir, dest)
+    return select_dest_rows(sdir, dest)
+
+
+def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None):
+    """Per-cell move direction from the sdir word and heading (+1).
+    Returns (dir [H,W] i32 with 7 = none, contra bool).
+
+    `allow`: vehicles holding a contraflow allowance follow the overtake
+    merge wavefront (high nibble) when one exists at their cell — the
+    reference's committed splice toward the merge cell
+    (`vehicle_base.py:309-366`); everyone else descends the static
+    byte."""
+    ndi = nd.astype(jnp.int32)
     h = jnp.maximum(head1 - 1, 0)
-    sok = ((nd.astype(jnp.int32) >> (4 + h)) & 1) == 1
+    sok = ((ndi >> (4 + h)) & 1) == 1
     sok = sok & (head1 > 0)
-    bestdir = (nd & 7).astype(jnp.int32)
+    bestdir = ndi & 7
     d = jnp.where(sok, h, bestdir)
-    contra = jnp.where(sok, False, (nd & 8) != 0)
+    contra = jnp.where(sok, False, (ndi & 8) != 0)
+    if allow is not None:
+        wdir = (ndi >> 8) & 7
+        use_w = allow & (wdir < 7)
+        d = jnp.where(use_w, wdir, d)
+        contra = jnp.where(use_w, (ndi & (1 << 11)) != 0, contra)
     return d, contra
 
 
@@ -478,241 +551,50 @@ def step_engine(cfg: Config, world, es: EngineState,
         ped_map = ped_count.reshape(H, W)
         ped_plane = ped_block.reshape(H, W)
 
-    # ---- 3. decide (`step_decide` `vehicle_base.py:616-663`) -------------
-    col0 = _bit(pa, PA_COL_SH)
-    mal0 = _bit(pa, PA_MAL_SH)
-    parked = _bit(pa, PA_PARKED_SH)
-    stuckf = _bit(pa, PA_STUCKF_SH)
-    head1 = _fld(pa, PA_HEAD_SH, 3)
-    cur0 = _fld(pa, PA_CUR_SH, 4)
-
-    # stranded ticking (`_tick_stranded` `vehicle_base.py:552-566`)
-    stranded0 = col0 | mal0
-    st = _fld(pb, PB_STRAND_SH, 12)
-    st = jnp.where(present & stranded0, st - 1, st)
-    recovered = present & stranded0 & (st <= 0)
-    col = col0 & ~recovered
-    mal = mal0 & ~recovered
-    st = jnp.where(recovered, 0, st)
-    still_stranded = present & (col | mal)
-
-    # malfunction roll (intended semantics of `vehicle_base.py:608-610`)
-    if cfg.VEHICLE_MALFUNCTION_ACTIVE:
-        roll = jax.random.uniform(k_mal, (H, W)) < \
-            cfg.VEHICLE_MALFUNCTION_CHANCE
-        new_mal = present & ~still_stranded & ~parked & roll
-        mal = mal | new_mal
-        st = jnp.where(new_mal, cfg.VEHICLE_MALFUNCTION_DURATION, st)
-        still_stranded = still_stranded | new_mal
-    else:
-        new_mal = jnp.zeros((H, W), bool)
-
-    # sideswipe roll (`_check_sideswipe_collision` `vehicle_base.py:567-605`)
-    new_col = jnp.zeros((H, W), bool)
-    if cfg.VEHICLE_SIDESWIPE_COLLISION_ACTIVE:
-        moving_nb = present & (cur0 > 0) & ~stuckf & ~parked & ~col0 & ~mal0
-        hk = jnp.maximum(head1 - 1, 0)
-        opp1 = ((hk + 2) % 4) + 1
-        side_hit = jnp.zeros((H, W), bool)
-        for m in range(4):
-            nb_mov = nbr(moving_nb, m, False)
-            nb_head = nbr(head1, m, 0)
-            rel = (m - hk) % 4
-            perp = (rel == 1) | (rel == 3)
-            side_hit = side_hit | (nb_mov & (nb_head == opp1) & perp)
-        moving = present & (cur0 > 0) & ~stuckf & ~parked & ~still_stranded
-        roll = jax.random.uniform(k_side, (H, W)) < \
-            cfg.VEHICLE_SIDESWIPE_COLLISION_CHANCE
-        new_col = moving & (head1 > 0) & side_hit & roll
-        col = col | new_col
-        st = jnp.where(new_col, cfg.VEHICLE_SIDESWIPE_COLLISION_DURATION, st)
-        still_stranded = still_stranded | new_col
-
-    # red light / parked: full stop (`vehicle_base.py:639-643`)
-    halted = still_stranded | (present & stop_map) | parked
-
-    # speed (`_compute_speed` `vehicle_base.py:94-107`)
-    base = _fld(pa, PA_BASE_SH, 4)
-    reroll = jax.random.randint(k_speed, (H, W), cfg.VEHICLE_MIN_SPEED,
-                                cfg.VEHICLE_MAX_SPEED + 1)
-    base = jnp.where(present & (base == 0), reroll, base)
-    speed = base
-    if cfg.RAIN_ENABLED:
-        speed = jnp.where(es.rain_map,
-                          jnp.maximum(1, speed - cfg.RAIN_SPEED_REDUCTION),
-                          speed)
-    speed = jnp.where(halted, 0, speed)
-    base = jnp.where(halted, 0, base)
-
-    # routing planes: precomputed per PATHFINDING_COOLDOWN segment, or
-    # rebuilt here for the single-tick path (see `routing_planes`)
+    # ---- 3+4. decide + movement (fused core; Pallas on TPU) ---------------
+    # (`step_decide`/`step`/`_execute_movement` `vehicle_base.py:616-753`
+    # — see ops/pallas_engine.decide_move_core, the single implementation
+    # shared by the XLA path and the VMEM-resident TPU kernel)
     if sdir is None:
         sdir = routing_planes(cfg, world, es)
-    dest14 = _fld(pa, PA_DEST_SH, 14)
-    nd0 = select_dest_rows(sdir, dest14)
-    dir0, contra0 = resolve_dir(nd0, head1)
-    cell_dest = grid.dest_id
-    at_dest0 = present & (cell_dest >= 0) & (dest14 == cell_dest)
-
-    # contraflow ladder (`vehicle_base.py:309-419`)
-    ct = jnp.maximum(_fld(pb, PB_CONTRA_SH, 8) - 1, 0)
-    allow_pre = present & ~halted & (ct > 0)
-    blocked = present & ~halted & ~at_dest0 & \
-        ((dir0 == 7) | (contra0 & ~allow_pre))
-    overtake = cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE & blocked
-    stuck_v = _fld(pb, PB_STUCK_SH, 12)
-    thresh = jnp.where(grid.intersection,
-                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD_INTERSECTION,
-                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD)
-    stuck_detour = cfg.VEHICLE_STUCK_CONTRAFLOW_ENABLED & \
-        (stuck_v >= thresh) & present
-    newly = present & ~halted & (overtake | stuck_detour) & (ct == 0)
-    ct = jnp.where(newly,
-                   jnp.where(stuck_detour,
-                             cfg.VEHICLE_CONTRAFLOW_STUCK_DETOUR_DURATION,
-                             cfg.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION), ct)
-    # excursion bookkeeping: mode + step budget (the reference bounds the
-    # contraflow splice length, `vehicle_base.py:309-419`; merge-back to
-    # the original corridor is emergent — every contraflow cell costs
-    # VEHICLE_CONTRAFLOW_PENALTY so the field descent re-enters the legal
-    # lane at the first free cell)
-    CF_CLEAR = ~jnp.uint32(0x3F << PD_CFMODE_SH)
-    pd = jnp.where(newly,
-                   (pd & CF_CLEAR)
-                   | (_u32(stuck_detour) << PD_CFMODE_SH), pd)
-
-    # write decided per-vehicle state back into the planes
-    CLEAR_A = ~jnp.uint32((15 << PA_BASE_SH) | (15 << PA_CUR_SH)
-                          | (1 << PA_COL_SH) | (1 << PA_MAL_SH))
-    pa = (pa & CLEAR_A) \
-        | (_u32(base) << PA_BASE_SH) \
-        | (_u32(jnp.where(present, speed, cur0)) << PA_CUR_SH) \
-        | (_u32(col) << PA_COL_SH) | (_u32(mal) << PA_MAL_SH)
-    pb = (_u32(jnp.clip(stuck_v, 0, 4095))
-          | (_u32(jnp.clip(st, 0, 4095)) << PB_STRAND_SH)
-          | (_u32(jnp.clip(ct, 0, 255)) << PB_CONTRA_SH))
-
-    # ---- 4. move: K CA sub-rounds of masked shifts ------------------------
-    # (`_execute_movement` `vehicle_base.py:733-753` + conflict commit)
-    occ0 = present
-    prio = jax.random.bits(k_prio, (H, W), jnp.uint32) & \
-        jnp.uint32(0xFFFFFFF8)
     ped_bit = (ped_plane if ped_plane is not None
                else jnp.zeros((H, W), bool))
-    steps_left = jnp.where(present, speed, 0).astype(jnp.int32)
-    moved = jnp.zeros((H, W), bool)
-    halt_latch = halted
-
-    def subround(s, carry):
-        pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = carry
-        present_c = (pa & 1) == 1
-        dest_c = _fld(pa, PA_DEST_SH, 14)
-        nd = select_dest_rows(sdir, dest_c)
-        h1 = _fld(pa, PA_HEAD_SH, 3)
-        dir_, contra = resolve_dir(nd, h1)
-        at_dest_c = present_c & (cell_dest >= 0) & (dest_c == cell_dest)
-        csteps = _fld(pd, PD_CFSTEPS_SH, 5)
-        climit = jnp.where(_bit(pd, PD_CFMODE_SH),
-                           cfg.VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS,
-                           cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS)
-        allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
-        can_dir = (dir_ < 7) & (~contra | allow)
-        want = present_c & ~halt_latch & (steps_left > 0) & ~at_dest_c
-
-        bb = (stop_map.astype(jnp.uint8)
-              | (present_c.astype(jnp.uint8) << 1)
-              | (occ0.astype(jnp.uint8) << 2)
-              | (ped_bit.astype(jnp.uint8) << 3))
-        blocked_t = jnp.zeros((H, W), bool)
-        for m in range(4):
-            tb = nbr(bb, m, jnp.uint8(0xF))
-            blocked_t = jnp.where(dir_ == m, tb != 0, blocked_t)
-        can = want & can_dir & ~blocked_t
-
-        # conflict resolution: lowest key wins the target cell
-        kinf = jnp.uint32(KEY_INF)
-        inkeys = []
-        for m in range(4):
-            src_key = jnp.where(can & (dir_ == m), prio | jnp.uint32(m),
-                                kinf)
-            inkeys.append(nbr(src_key, C.opposite(m), kinf))
-        minkey = jnp.minimum(jnp.minimum(inkeys[0], inkeys[1]),
-                             jnp.minimum(inkeys[2], inkeys[3]))
-        arrive_m = [(inkeys[m] == minkey) & (inkeys[m] != kinf)
-                    for m in range(4)]
-        won = jnp.zeros((H, W), bool)
-        for m in range(4):
-            won = won | (can & (dir_ == m) & nbr(arrive_m[m], m, False))
-
-        def move_plane(P, zero, fm=None):
-            out = jnp.where(won, zero, P)
-            for m in range(4):
-                src = jnp.where(can & (dir_ == m),
-                                fm(P, m) if fm is not None else P, zero)
-                inc = nbr(src, C.opposite(m), zero)
-                out = jnp.where(arrive_m[m], inc, out)
-            return out
-
-        z32 = jnp.uint32(0)
-        HEAD_CLR = ~jnp.uint32(7 << PA_HEAD_SH)
-        pa = move_plane(pa, z32,
-                        lambda P, m: (P & HEAD_CLR)
-                        | (jnp.uint32(m + 1) << PA_HEAD_SH))
-        pb = move_plane(pb, z32)
-        pc = move_plane(pc, z32,
-                        lambda P, m: jnp.minimum(
-                            (P >> PC_STEPS_SH) + 1, 4095) << PC_STEPS_SH
-                        | (P & jnp.uint32((1 << PC_STEPS_SH) - 1)))
-        # contraflow moves consume the excursion step budget
-        CFS_CLR = ~jnp.uint32(31 << PD_CFSTEPS_SH)
-        pd = move_plane(pd, z32,
-                        lambda P, m: jnp.where(
-                            contra,
-                            (P & CFS_CLR) | (_u32(jnp.minimum(
-                                _fld(P, PD_CFSTEPS_SH, 5) + 1, 31))
-                                << PD_CFSTEPS_SH), P))
-        pe = move_plane(pe, z32)
-        pl = move_plane(pl, jnp.float32(0))
-        steps_left = move_plane(steps_left, jnp.int32(0),
-                                lambda P, m: P - 1)
-        moved = move_plane(moved, False, lambda P, m: True)
-        halt_latch = halt_latch | (want & ~won)
-        return pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch
-
-    carry = (pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch)
-    carry = jax.lax.fori_loop(0, cfg.VEHICLE_MAX_SPEED, subround, carry)
-    pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = carry
-    present = (pa & 1) == 1
-
-    # full stop resets the cruising speed (`step_decide`
-    # `vehicle_base.py:656-659`): the first move was impossible given
-    # start-of-tick state (not merely lost to a conflict)
-    bb0 = stop_map | occ0 | ped_bit
-    tgt_blocked0 = jnp.zeros((H, W), bool)
-    for m in range(4):
-        tgt_blocked0 = jnp.where(dir0 == m, nbr(bb0, m, True), tgt_blocked0)
-    allow0 = present & (_fld(pb, PB_CONTRA_SH, 8) > 0)
-    fb0 = at_dest0 | (dir0 == 7) | (contra0 & ~allow0) | tgt_blocked0
-    base_reset = present & ~moved & fb0
-    pa = jnp.where(base_reset, pa & ~jnp.uint32(15 << PA_BASE_SH), pa)
-
-    # stuck bookkeeping (`tick_stuck` `vehicle_base.py:687-693`)
-    at_stop_f = present & stop_map
-    stuck_v = _fld(pb, PB_STUCK_SH, 12)
-    stuck_inc = present & ~moved & ~at_stop_f
-    stuck_v = jnp.where(present & moved, 0,
-                        jnp.where(stuck_inc,
-                                  jnp.minimum(stuck_v + 1, 4095), stuck_v))
-    stuckf = _bit(pa, PA_STUCKF_SH)
-    stuckf = jnp.where(present & moved, False,
-                       jnp.where(stuck_v > cfg.VEHICLE_STUCK_RECOMPUTE_THRESHOLD,
-                                 True, stuckf))
-    pa = (pa & ~jnp.uint32(1 << PA_STUCKF_SH)) | (_u32(stuckf) << PA_STUCKF_SH)
-    pb = (pb & ~jnp.uint32(4095)) | _u32(stuck_v)
-    events = (jnp.sum(new_mal), jnp.sum(new_col))
+    randoms = (jax.random.uniform(k_mal, (H, W)),
+               jax.random.uniform(k_side, (H, W)),
+               jax.random.randint(k_speed, (H, W), cfg.VEHICLE_MIN_SPEED,
+                                  cfg.VEHICLE_MAX_SPEED + 1),
+               jax.random.bits(k_prio, (H, W)))
+    planes_in = (pa, pb, pc, pd, pe, pl)
+    if _use_pallas(cfg, sdir.shape[0]):
+        out = pallas_engine.decide_move_pallas(
+            cfg, sdir, planes_in, stop_map, es.rain_map, ped_bit,
+            grid.intersection, grid.dest_id, randoms)
+    else:
+        out = pallas_engine.decide_move_core(
+            cfg, nbr, lambda dest: select_rows(sdir, dest),
+            *planes_in, stop_map, es.rain_map, ped_bit,
+            grid.intersection, grid.dest_id, *randoms)
+    pa, pb, pc, pd, pe, pl, flags = out
+    events = (jnp.sum((flags & pallas_engine.FLAG_NEW_MAL) != 0),
+              jnp.sum((flags & pallas_engine.FLAG_NEW_COL) != 0))
     return _post_move(cfg, world, es, (pa, pb, pc, pd, pe, pl),
                       lights, stop_map, density, peds, ped_map,
                       tick, elapsed, key, k_rain, rl_state, events)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _use_pallas(cfg: Config, D: int) -> bool:
+    """Whether to run decide+movement as the fused TPU kernel: flag on,
+    ambient backend is TPU, and the working set fits VMEM."""
+    if not cfg.USE_PALLAS_ENGINE:
+        return False
+    return _on_tpu() and pallas_engine.vmem_fits(cfg, D)
 
 
 def _clear_veh(planes, mask):

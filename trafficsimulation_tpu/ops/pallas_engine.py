@@ -1,0 +1,499 @@
+"""Fused decide+movement: one backend-agnostic core, two executors.
+
+`decide_move_core` is the single implementation of the vehicle tick's
+hot half — fault rolls, speed, contraflow ladder, the K CA movement
+sub-rounds with conflict resolution, and the post-move stuck/cruise
+bookkeeping (reference `step_decide`/`step`/`_execute_movement`
+`vehicle_base.py:616-753`).  It is parameterized over
+
+  * `shift(plane, d, fill)` — value at the d-neighbor, and
+  * `select(dest_i32) -> nd u16` — the per-cell sdir row lookup,
+
+so the same math runs two ways:
+
+  * XLA path (`ops/engine.py`): shift = padded `.at[]` shifts, select =
+    the masked D-reduction (`select_dest_rows`).
+  * Pallas path (`decide_move_pallas`): the ENTIRE section runs as one
+    TPU kernel with every plane and the full sdir stack resident in
+    VMEM — at 256x256 the tick's working set (~10 MB at D=64) fits
+    on-chip, so the ~150 plane ops between HBM round-trips collapse to
+    VPU passes.  Shift = `pltpu.roll` + edge fill, select = a static
+    loop over VMEM sdir rows.
+
+The random draws are INPUTS (computed with jax.random outside), so both
+executors are bit-identical given the same PRNG keys — tested in
+tests/test_pallas_engine.py with the interpreter executor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import codes as C
+from ..config import Config
+
+# bit layout constants shared with ops.engine (imported there; duplicated
+# import here would be circular — engine imports this module)
+PA_KIND_SH = 1
+PA_HEAD_SH = 3
+PA_BASE_SH = 6
+PA_CUR_SH = 10
+PA_PARKED_SH = 14
+PA_COL_SH = 15
+PA_MAL_SH = 16
+PA_STUCKF_SH = 17
+PA_DEST_SH = 18
+PB_STUCK_SH = 0
+PB_STRAND_SH = 12
+PB_CONTRA_SH = 24
+PC_STEPS_SH = 20
+PD_PHASE_SH = 0
+PD_TIMER_SH = 2
+PD_BLOCK_SH = 10
+PD_CFMODE_SH = 26
+PD_CFSTEPS_SH = 27
+KEY_INF = 0xFFFFFFFF
+
+FLAG_NEW_MAL = 1
+FLAG_NEW_COL = 2
+FLAG_MOVED = 4
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _bit(p, sh):
+    return ((p >> sh) & 1).astype(bool)
+
+
+def _fld(p, sh, bits):
+    return ((p >> sh) & ((1 << bits) - 1)).astype(jnp.int32)
+
+
+def _resolve(nd, head1, allow):
+    """resolve_dir (see ops.engine.resolve_dir).  Bool selects are
+    written as logical ops: Mosaic lacks i8->i1 select/trunc lowerings."""
+    ndi = nd.astype(jnp.int32)
+    h = jnp.maximum(head1 - 1, 0)
+    sok = ((ndi >> (4 + h)) & 1) == 1
+    sok = sok & (head1 > 0)
+    d = jnp.where(sok, h, ndi & 7)
+    contra = ~sok & ((ndi & 8) != 0)
+    if allow is not None:
+        wdir = (ndi >> 8) & 7
+        use_w = allow & (wdir < 7)
+        d = jnp.where(use_w, wdir, d)
+        contra = (use_w & ((ndi & (1 << 11)) != 0)) | (~use_w & contra)
+    return d, contra
+
+
+def decide_move_core(cfg: Config, shift, select,
+                     pa, pb, pc, pd, pe, pl,
+                     stop_map, rain_map, ped_block, intersection, dest_id,
+                     r_mal, r_side, r_reroll, r_prio):
+    """See module docstring.  All mask inputs are bool [H, W]; r_mal /
+    r_side are uniform [0,1) f32, r_reroll is randint
+    [VEHICLE_MIN_SPEED, VEHICLE_MAX_SPEED], r_prio is u32 random bits.
+
+    Returns (pa, pb, pc, pd, pe, pl, flags u8) — flags bits:
+    1 new malfunction, 2 new collision, 4 moved this tick."""
+    H, W = pa.shape
+    present = (pa & 1) == 1
+
+    # ---- decide (`step_decide` `vehicle_base.py:616-663`) -----------------
+    col0 = _bit(pa, PA_COL_SH)
+    mal0 = _bit(pa, PA_MAL_SH)
+    parked = _bit(pa, PA_PARKED_SH)
+    stuckf = _bit(pa, PA_STUCKF_SH)
+    head1 = _fld(pa, PA_HEAD_SH, 3)
+    cur0 = _fld(pa, PA_CUR_SH, 4)
+
+    # stranded ticking (`_tick_stranded` `vehicle_base.py:552-566`)
+    stranded0 = col0 | mal0
+    st = _fld(pb, PB_STRAND_SH, 12)
+    st = jnp.where(present & stranded0, st - 1, st)
+    recovered = present & stranded0 & (st <= 0)
+    col = col0 & ~recovered
+    mal = mal0 & ~recovered
+    st = jnp.where(recovered, 0, st)
+    still_stranded = present & (col | mal)
+
+    # malfunction roll (intended semantics of `vehicle_base.py:608-610`)
+    if cfg.VEHICLE_MALFUNCTION_ACTIVE:
+        roll = r_mal < cfg.VEHICLE_MALFUNCTION_CHANCE
+        new_mal = present & ~still_stranded & ~parked & roll
+        mal = mal | new_mal
+        st = jnp.where(new_mal, cfg.VEHICLE_MALFUNCTION_DURATION, st)
+        still_stranded = still_stranded | new_mal
+    else:
+        new_mal = jnp.zeros((H, W), bool)
+
+    # sideswipe roll (`_check_sideswipe_collision` `vehicle_base.py:567-605`)
+    new_col = jnp.zeros((H, W), bool)
+    if cfg.VEHICLE_SIDESWIPE_COLLISION_ACTIVE:
+        moving_nb = present & (cur0 > 0) & ~stuckf & ~parked & ~col0 & ~mal0
+        hk = jnp.maximum(head1 - 1, 0)
+        opp1 = ((hk + 2) % 4) + 1
+        side_hit = jnp.zeros((H, W), bool)
+        for m in range(4):
+            nb_mov = shift(moving_nb, m, False)
+            nb_head = shift(head1, m, 0)
+            rel = (m - hk) % 4
+            perp = (rel == 1) | (rel == 3)
+            side_hit = side_hit | (nb_mov & (nb_head == opp1) & perp)
+        moving = present & (cur0 > 0) & ~stuckf & ~parked & ~still_stranded
+        roll = r_side < cfg.VEHICLE_SIDESWIPE_COLLISION_CHANCE
+        new_col = moving & (head1 > 0) & side_hit & roll
+        col = col | new_col
+        st = jnp.where(new_col, cfg.VEHICLE_SIDESWIPE_COLLISION_DURATION, st)
+        still_stranded = still_stranded | new_col
+
+    # red light / parked: full stop (`vehicle_base.py:639-643`)
+    halted = still_stranded | (present & stop_map) | parked
+
+    # speed (`_compute_speed` `vehicle_base.py:94-107`)
+    base = _fld(pa, PA_BASE_SH, 4)
+    base = jnp.where(present & (base == 0), r_reroll, base)
+    speed = base
+    if cfg.RAIN_ENABLED:
+        speed = jnp.where(rain_map,
+                          jnp.maximum(1, speed - cfg.RAIN_SPEED_REDUCTION),
+                          speed)
+    speed = jnp.where(halted, 0, speed)
+    base = jnp.where(halted, 0, base)
+
+    dest14 = _fld(pa, PA_DEST_SH, 14)
+    nd0 = select(dest14)
+    dir0, contra0 = _resolve(nd0, head1, None)
+    at_dest0 = present & (dest_id >= 0) & (dest14 == dest_id)
+
+    # contraflow ladder (`vehicle_base.py:309-419`)
+    ct = jnp.maximum(_fld(pb, PB_CONTRA_SH, 8) - 1, 0)
+    CF_CLEAR = ~jnp.uint32(0x3F << PD_CFMODE_SH)
+    # overtake merge-back completion (`vehicle_base.py:219-277`)
+    wdir0 = (nd0.astype(jnp.int32) >> 8) & 7
+    merged = present & (ct > 0) & ~_bit(pd, PD_CFMODE_SH) & \
+        (wdir0 == 7) & (dir0 < 7) & ~contra0
+    ct = jnp.where(merged, 0, ct)
+    pd = jnp.where(merged, pd & CF_CLEAR, pd)
+    allow_pre = present & ~halted & (ct > 0)
+    blocked = present & ~halted & ~at_dest0 & \
+        ((dir0 == 7) | (contra0 & ~allow_pre))
+    overtake = cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE & blocked
+    stuck_v = _fld(pb, PB_STUCK_SH, 12)
+    thresh = jnp.where(intersection,
+                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD_INTERSECTION,
+                       cfg.VEHICLE_STUCK_CONTRAFLOW_THRESHOLD)
+    stuck_detour = cfg.VEHICLE_STUCK_CONTRAFLOW_ENABLED & \
+        (stuck_v >= thresh) & present
+    newly = present & ~halted & (overtake | stuck_detour) & (ct == 0)
+    ct = jnp.where(newly,
+                   jnp.where(stuck_detour,
+                             cfg.VEHICLE_CONTRAFLOW_STUCK_DETOUR_DURATION,
+                             cfg.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION), ct)
+    pd = jnp.where(newly,
+                   (pd & CF_CLEAR)
+                   | (_u32(stuck_detour) << PD_CFMODE_SH), pd)
+
+    # write decided per-vehicle state back into the planes
+    CLEAR_A = ~jnp.uint32((15 << PA_BASE_SH) | (15 << PA_CUR_SH)
+                          | (1 << PA_COL_SH) | (1 << PA_MAL_SH))
+    pa = (pa & CLEAR_A) \
+        | (_u32(base) << PA_BASE_SH) \
+        | (_u32(jnp.where(present, speed, cur0)) << PA_CUR_SH) \
+        | (_u32(col) << PA_COL_SH) | (_u32(mal) << PA_MAL_SH)
+    pb = (_u32(jnp.clip(stuck_v, 0, 4095))
+          | (_u32(jnp.clip(st, 0, 4095)) << PB_STRAND_SH)
+          | (_u32(jnp.clip(ct, 0, 255)) << PB_CONTRA_SH))
+
+    # ---- move: K CA sub-rounds of masked shifts ----------------------------
+    # (`_execute_movement` `vehicle_base.py:733-753` + conflict commit)
+    occ0 = present
+    # conflict keys live in nonneg i32 so min lowers to minsi (Mosaic has
+    # no unsigned vector min); 28 random bits of priority remain
+    prio = (r_prio >> 4).astype(jnp.int32) & jnp.int32(0x0FFFFFF8)
+    steps_left = jnp.where(present, speed, 0).astype(jnp.int32)
+    moved = jnp.zeros((H, W), jnp.int32)   # 0/1; i32 so Mosaic selects it
+    halt_latch = halted
+
+    for _s in range(cfg.VEHICLE_MAX_SPEED):
+        present_c = (pa & 1) == 1
+        dest_c = _fld(pa, PA_DEST_SH, 14)
+        nd = select(dest_c)
+        h1 = _fld(pa, PA_HEAD_SH, 3)
+        at_dest_c = present_c & (dest_id >= 0) & (dest_c == dest_id)
+        csteps = _fld(pd, PD_CFSTEPS_SH, 5)
+        climit = jnp.where(_bit(pd, PD_CFMODE_SH),
+                           cfg.VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS,
+                           cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS)
+        allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
+        dir_, contra = _resolve(nd, h1, allow)
+        can_dir = (dir_ < 7) & (~contra | allow)
+        want = present_c & ~halt_latch & (steps_left > 0) & ~at_dest_c
+
+        bb = (stop_map.astype(jnp.int32)
+              | (present_c.astype(jnp.int32) << 1)
+              | (occ0.astype(jnp.int32) << 2)
+              | (ped_block.astype(jnp.int32) << 3))
+        blocked_t = jnp.zeros((H, W), bool)
+        for m in range(4):
+            tb = shift(bb, m, jnp.int32(0xF))
+            blocked_t = blocked_t | ((dir_ == m) & (tb != 0))
+        can = want & can_dir & ~blocked_t
+
+        # conflict resolution: lowest key wins the target cell
+        kinf = jnp.int32(0x7FFFFFFF)
+        inkeys = []
+        for m in range(4):
+            src_key = jnp.where(can & (dir_ == m), prio | jnp.int32(m),
+                                kinf)
+            inkeys.append(shift(src_key, C.opposite(m), kinf))
+        minkey = jnp.minimum(jnp.minimum(inkeys[0], inkeys[1]),
+                             jnp.minimum(inkeys[2], inkeys[3]))
+        arrive_m = [(inkeys[m] == minkey) & (inkeys[m] != kinf)
+                    for m in range(4)]
+        won = jnp.zeros((H, W), bool)
+        for m in range(4):
+            won = won | (can & (dir_ == m) & shift(arrive_m[m], m, False))
+
+        def move_plane(P, zero, fm=None, can=can, dir_=dir_,
+                       arrive_m=arrive_m, won=won):
+            out = jnp.where(won, zero, P)
+            for m in range(4):
+                src = jnp.where(can & (dir_ == m),
+                                fm(P, m) if fm is not None else P, zero)
+                inc = shift(src, C.opposite(m), zero)
+                out = jnp.where(arrive_m[m], inc, out)
+            return out
+
+        z32 = jnp.uint32(0)
+        HEAD_CLR = ~jnp.uint32(7 << PA_HEAD_SH)
+        pa = move_plane(pa, z32,
+                        lambda P, m: (P & HEAD_CLR)
+                        | (jnp.uint32(m + 1) << PA_HEAD_SH))
+        pb = move_plane(pb, z32)
+        pc = move_plane(pc, z32,
+                        lambda P, m: (_u32(jnp.minimum(
+                            _fld(P, PC_STEPS_SH, 12) + 1, 4095))
+                            << PC_STEPS_SH)
+                        | (P & jnp.uint32((1 << PC_STEPS_SH) - 1)))
+        # contraflow moves consume the excursion step budget
+        CFS_CLR = ~jnp.uint32(31 << PD_CFSTEPS_SH)
+        pd = move_plane(pd, z32,
+                        lambda P, m, contra=contra: jnp.where(
+                            contra,
+                            (P & CFS_CLR) | (_u32(jnp.minimum(
+                                _fld(P, PD_CFSTEPS_SH, 5) + 1, 31))
+                                << PD_CFSTEPS_SH), P))
+        pe = move_plane(pe, z32)
+        pl = move_plane(pl, jnp.float32(0))
+        steps_left = move_plane(steps_left, jnp.int32(0),
+                                lambda P, m: P - 1)
+        moved = move_plane(moved, jnp.int32(0),
+                           lambda P, m: jnp.ones_like(P))
+        halt_latch = halt_latch | (want & ~won)
+
+    moved = moved != 0
+    present = (pa & 1) == 1
+
+    # full stop resets the cruising speed (`step_decide`
+    # `vehicle_base.py:656-659`): the first move was impossible given
+    # start-of-tick state (not merely lost to a conflict)
+    bb0 = stop_map | occ0 | ped_block
+    dir0r, contra0r = _resolve(nd0, head1, present & (ct > 0))
+    tgt_blocked0 = jnp.zeros((H, W), bool)
+    for m in range(4):
+        tgt_blocked0 = tgt_blocked0 | ((dir0r == m)
+                                       & shift(bb0, m, True))
+    allow0 = present & (_fld(pb, PB_CONTRA_SH, 8) > 0)
+    fb0 = at_dest0 | (dir0r == 7) | (contra0r & ~allow0) | tgt_blocked0
+    base_reset = present & ~moved & fb0
+    pa = jnp.where(base_reset, pa & ~jnp.uint32(15 << PA_BASE_SH), pa)
+
+    # stuck bookkeeping (`tick_stuck` `vehicle_base.py:687-693`)
+    at_stop_f = present & stop_map
+    stuck_v = _fld(pb, PB_STUCK_SH, 12)
+    stuck_inc = present & ~moved & ~at_stop_f
+    stuck_v = jnp.where(present & moved, 0,
+                        jnp.where(stuck_inc,
+                                  jnp.minimum(stuck_v + 1, 4095), stuck_v))
+    stuckf = _bit(pa, PA_STUCKF_SH)
+    stuckf = ~(present & moved) & \
+        ((stuck_v > cfg.VEHICLE_STUCK_RECOMPUTE_THRESHOLD) | stuckf)
+    pa = (pa & ~jnp.uint32(1 << PA_STUCKF_SH)) | (_u32(stuckf)
+                                                  << PA_STUCKF_SH)
+    pb = (pb & ~jnp.uint32(4095)) | _u32(jnp.clip(stuck_v, 0, 4095))
+
+    flags = (new_mal.astype(jnp.int32) * FLAG_NEW_MAL
+             | new_col.astype(jnp.int32) * FLAG_NEW_COL
+             | moved.astype(jnp.int32) * FLAG_MOVED)
+    return pa, pb, pc, pd, pe, pl, flags
+
+
+# ---------------------------------------------------------------------------
+# Streaming destination-row select
+# ---------------------------------------------------------------------------
+
+def _select_kernel(DB, dest_ref, sdir_ref, out_ref):
+    import jax.experimental.pallas as pl
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.full(out_ref.shape, jnp.int32(7 | (7 << 8)))
+
+    dest = dest_ref[:]
+    out = out_ref[:]
+    for k in range(DB):
+        hit = dest == (i * DB + k)
+        out = jnp.where(hit, sdir_ref[k].astype(jnp.int32), out)
+    out_ref[:] = out
+
+
+def select_rows_pallas(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+    """nd[y, x] = sdir[dest[y, x], y, x] as a streaming kernel: each grid
+    step loads a fat block of DB destination rows into VMEM and
+    overwrites the matching cells of the VMEM-resident accumulator (fat
+    blocks amortize the per-grid-step DMA/launch overhead; measured
+    ~7 us/step).  The dest plane and the accumulator have constant block
+    indices, so Pallas fetches/flushes them once — total HBM traffic is
+    one read of sdir (vs the XLA masked reduction which measures ~10x
+    off bandwidth at D=64).  Semantically identical to
+    `ops.engine.select_dest_rows` (dest values are unique per cell, so
+    overwrite == masked max)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W = sdir.shape
+    # DB rows per step, <= ~4 MB of VMEM for the sdir block
+    DB = max(1, min(D, (4 * 1024 * 1024) // (H * W * sdir.dtype.itemsize)))
+    while D % DB != 0:
+        DB -= 1
+    return pl.pallas_call(
+        functools.partial(_select_kernel, DB),
+        grid=(D // DB,),
+        in_specs=[
+            pl.BlockSpec((H, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DB, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+    )(dest, sdir)
+
+
+# ---------------------------------------------------------------------------
+# Pallas executor
+# ---------------------------------------------------------------------------
+
+def _shift_roll(x, d, fill):
+    """Value at the d-neighbor via circular roll + edge fill (Mosaic-
+    friendly; same semantics as ops.routing._shift_plane).
+
+    Mosaic's tpu.dynamic_rotate only supports 32-bit lanes, so bool/u8/
+    u16 planes are widened to i32 around the roll (a VPU cast, still
+    VMEM-resident)."""
+    from jax.experimental.pallas import tpu as pltpu
+    H, W = x.shape[-2], x.shape[-1]
+    orig_dtype = None
+    if x.dtype.itemsize < 4:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.int32)
+    # pltpu.roll requires a non-negative shift: -1 == size-1
+    if d == C.N_IDX:        # out[y] = x[y+1]
+        r = pltpu.roll(x, H - 1, x.ndim - 2)
+        edge = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                        x.ndim - 2) == H - 1
+    elif d == C.S_IDX:      # out[y] = x[y-1]
+        r = pltpu.roll(x, 1, x.ndim - 2)
+        edge = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                        x.ndim - 2) == 0
+    elif d == C.E_IDX:      # out[x] = x[x+1]
+        r = pltpu.roll(x, W - 1, x.ndim - 1)
+        edge = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                        x.ndim - 1) == W - 1
+    else:                   # W
+        r = pltpu.roll(x, 1, x.ndim - 1)
+        edge = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                        x.ndim - 1) == 0
+    out = jnp.where(edge, jnp.asarray(fill, x.dtype), r)
+    if orig_dtype is not None:
+        out = out.astype(orig_dtype)
+    return out
+
+
+def _kernel(cfg, D, sdir_ref, pa_ref, pb_ref, pc_ref, pd_ref, pe_ref,
+            pl_ref, stop_ref, rain_ref, ped_ref, inter_ref, dest_ref,
+            rmal_ref, rside_ref, rrer_ref, rprio_ref,
+            opa, opb, opc, opd, ope, opl, oflags):
+    def select(dest):
+        # i32 selects: Mosaic lacks 16-bit select lowerings
+        nd = jnp.full(dest.shape, jnp.int32(7 | (7 << 8)))
+        for d in range(D):
+            nd = jnp.where(dest == d, sdir_ref[d].astype(jnp.int32), nd)
+        return nd
+
+    out = decide_move_core(
+        cfg, _shift_roll, select,
+        pa_ref[:], pb_ref[:], pc_ref[:], pd_ref[:], pe_ref[:], pl_ref[:],
+        stop_ref[:] != 0, rain_ref[:] != 0, ped_ref[:] != 0,
+        inter_ref[:] != 0, dest_ref[:],
+        rmal_ref[:], rside_ref[:], rrer_ref[:], rprio_ref[:])
+    pa, pb, pc, pd, pe, pl, flags = out
+    opa[:] = pa
+    opb[:] = pb
+    opc[:] = pc
+    opd[:] = pd
+    ope[:] = pe
+    opl[:] = pl
+    oflags[:] = flags
+
+
+def vmem_fits(cfg: Config, D: int) -> bool:
+    """Whole-grid kernel viability: sdir + planes + working set must fit
+    in VMEM (~16 MB/core, leave headroom for Mosaic temporaries)."""
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    hw = H * W
+    need = D * hw * 2 + 6 * hw * 4 + 10 * hw * 4
+    return need < 11 * 1024 * 1024
+
+
+def decide_move_pallas(cfg: Config, sdir, planes, stop_map, rain_map,
+                       ped_block, intersection, dest_id, randoms,
+                       interpret: bool = False):
+    """Run `decide_move_core` as one VMEM-resident TPU kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pa, pb, pc, pd, pe, pl_ = planes
+    H, W = pa.shape
+    D = sdir.shape[0]
+    r_mal, r_side, r_reroll, r_prio = randoms
+
+    i32 = lambda x: x.astype(jnp.int32)   # 32-bit masks: Mosaic-clean
+    outs = (
+        jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        jax.ShapeDtypeStruct((H, W), jnp.float32),
+        jax.ShapeDtypeStruct((H, W), jnp.int32),
+    )
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = 16
+    return pl.pallas_call(
+        functools.partial(_kernel, cfg, D),
+        out_shape=outs,
+        in_specs=[spec] * n_in,
+        out_specs=(spec,) * 7,
+        interpret=interpret,
+    )(sdir, pa, pb, pc, pd, pe, pl_,
+      i32(stop_map), i32(rain_map), i32(ped_block), i32(intersection),
+      dest_id, r_mal, r_side, r_reroll, r_prio)

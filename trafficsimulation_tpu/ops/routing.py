@@ -58,19 +58,32 @@ def road_type_penalty(cfg: Config, road_class: jnp.ndarray) -> jnp.ndarray:
 def compute_cost_fields(cfg: Config, allowed_dirs: jnp.ndarray,
                         road_class: jnp.ndarray, dest_pos: jnp.ndarray,
                         dest_valid: jnp.ndarray,
-                        max_iters: int | None = None) -> jnp.ndarray:
+                        max_iters: int | None = None,
+                        is_road: jnp.ndarray = None) -> jnp.ndarray:
     """Value-iterate cost-to-go fields.
 
     F[d, h, y, x] = min cost to reach destination d from (y,x) when the
     vehicle's current heading is h.  Returns [D, 4, H, W] f32 (INF where
     unreachable).
-    """
+
+    With `is_road`, moves onto road cells AGAINST the flow are included
+    at +VEHICLE_CONTRAFLOW_PENALTY per cell — the reference A*'s
+    `ignore_flow` cost model (`astar_numba.py:184-214`), which is what
+    lets the overtake/stuck-detour ladders route THROUGH an opposite
+    lane and merge back (`vehicle_base.py:309-419`).  The penalty is so
+    large that wherever a legal path exists it dominates; only vehicles
+    holding a contraflow allowance may actually take the contraflow
+    moves (engine gating)."""
     H, W = allowed_dirs.shape
     D = dest_pos.shape[0]
     if max_iters is None:
         max_iters = 3 * (H + W)
     tp = jnp.float32(cfg.VEHICLE_TURN_PENALTY
                      if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0.0)
+    cp = jnp.float32(cfg.VEHICLE_CONTRAFLOW_PENALTY)
+    use_contra = is_road is not None and (
+        cfg.VEHICLE_CONTRAFLOW_OVERTAKE_ACTIVE
+        or cfg.VEHICLE_STUCK_CONTRAFLOW_ENABLED)
     enter = 1.0 + road_type_penalty(cfg, road_class)          # [H, W]
     bits = allowed_dirs
 
@@ -89,7 +102,12 @@ def compute_cost_fields(cfg: Config, allowed_dirs: jnp.ndarray,
             fn = _shift_plane(F[:, m], m, INF)                # [D, H, W]
             en = _shift_plane(enter, m, INF)                  # [H, W]
             legal = (bits & jnp.uint8(C.DIR_BITS[m])) != 0
-            cands.append(jnp.where(legal, fn + en, INF))
+            if use_contra:
+                rd = _shift_plane(is_road, m, False)
+                extra = jnp.where(legal, 0.0, cp)
+                cands.append(jnp.where(legal | rd, fn + en + extra, INF))
+            else:
+                cands.append(jnp.where(legal, fn + en, INF))
         cand = jnp.stack(cands, axis=1)                       # [D, 4, H, W]
         best_any = jnp.min(cand, axis=1, keepdims=True)
         # heading h either continues straight (cand[h]) or turns (best + tp)
