@@ -32,8 +32,8 @@ from trafficsimulation_tpu.sim import init_world, run_chunk, \
 
 H = W = 256
 N_VEHICLES = 10_000
-TICKS = 50
-BATCH = 16
+TICKS = 100
+BATCH = 32
 
 
 def inject_vehicles(cfg, world, n, seed=0):
@@ -96,7 +96,7 @@ def main():
     # per world, so replication measures true batched throughput) --------
     t_start = time.perf_counter()
     try:
-        if t_start - _T0 > 360:
+        if t_start - _T0 > 900:
             raise TimeoutError("skip batch measurement (time budget)")
         worlds = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), world)

@@ -71,7 +71,10 @@ def make_world(cfg: Config, cell, dirs, road_class, dest_cells):
         intersection_size=jnp.zeros((G,)), penalty_score=jnp.zeros((G,)),
         queue_cells=jnp.zeros((Q,), jnp.int32),
         queue_qgroup=jnp.full((Q,), -1, jnp.int32),
-        queue_qbucket=jnp.zeros((Q,), jnp.int32))
+        queue_qbucket=jnp.zeros((Q,), jnp.int32),
+        run_lo=jnp.zeros((Q,), jnp.int32),
+        run_hi=jnp.zeros((Q,), jnp.int32),
+        run_seg=jnp.full((Q,), -1, jnp.int32))
     bs = BlockStatic(
         valid=jnp.zeros((B,), bool), btype=jnp.zeros((B,), jnp.uint8),
         inner_count=jnp.zeros((B,), jnp.int32),

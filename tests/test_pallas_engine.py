@@ -42,13 +42,14 @@ def test_pallas_kernel_matches_xla_core():
     grid = world.grid
 
     from trafficsimulation_tpu.ops.routing import _shift_plane
+    sd, wnd = sdir
     ref = pallas_engine.decide_move_core(
-        CFG, _shift_plane, lambda d: engine.select_dest_rows(sdir, d),
+        CFG, _shift_plane, lambda d: engine.select_dest_rows(sd, d), wnd,
         *planes, stop, es.rain_map, ped, grid.intersection, grid.dest_id,
         *randoms)
 
     got = pallas_engine.decide_move_pallas(
-        CFG, sdir, planes, stop, es.rain_map, ped,
+        CFG, sd, wnd, planes, stop, es.rain_map, ped,
         grid.intersection, grid.dest_id, randoms, interpret=True)
 
     names = ("pa", "pb", "pc", "pd", "pe", "pl", "flags")

@@ -65,6 +65,13 @@ class GroupStatic:
     queue_cells: jnp.ndarray    # i32 [Q] flat cell index (clipped; pad ok)
     queue_qgroup: jnp.ndarray   # i32 [Q] owning group (-1 pad)
     queue_qbucket: jnp.ndarray  # i32 [Q] bucket 0..3 lanes, 4 intersection
+    # axis-aligned RUN decomposition of the same labels: per-tick queue
+    # counts become 2 prefix-sum gathers per run (~5x fewer scalar
+    # elements than the per-cell gather; see fsm.group_reductions).
+    # Indices address the padded prefix buffer [H*(W+1) + (H+1)*W].
+    run_lo: jnp.ndarray         # i32 [R] prefix idx at run start
+    run_hi: jnp.ndarray         # i32 [R] prefix idx one past run end
+    run_seg: jnp.ndarray        # i32 [R] segment id group*5+bucket (-1 pad)
 
 
 @struct.dataclass

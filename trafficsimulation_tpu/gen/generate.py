@@ -168,6 +168,12 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     qidx = jnp.nonzero(qgf >= 0, size=Q, fill_value=HW)[0].astype(jnp.int32)
     qcell = jnp.clip(qidx, 0, HW - 1)
     qvalid = qidx < HW
+    # run decomposition (see gen/lights.py 6d): compact the run-end
+    # planes; padded entries get seg -1 and a safe [0, 0) range
+    ref = lg["run_end"].reshape(-1)
+    ridx = jnp.nonzero(ref, size=Q, fill_value=HW)[0].astype(jnp.int32)
+    rcell = jnp.clip(ridx, 0, HW - 1)
+    rvalid = ridx < HW
     groups_static = GroupStatic(
         valid=lg["group_valid"],
         neighbor=lg["group_neighbor"],
@@ -178,6 +184,10 @@ def generate_city(cfg: Config, key: jnp.ndarray):
         queue_cells=qcell,
         queue_qgroup=jnp.where(qvalid, qgf[qcell], -1),
         queue_qbucket=jnp.where(qvalid, qbf[qcell], 0),
+        run_lo=jnp.where(rvalid, lg["run_lo_plane"].reshape(-1)[rcell], 0),
+        run_hi=jnp.where(rvalid, lg["run_hi_plane"].reshape(-1)[rcell], 0),
+        run_seg=jnp.where(rvalid, lg["run_seg_plane"].reshape(-1)[rcell],
+                          -1),
     )
 
     zone_codes = jnp.array(C.ZONE_TYPES, dtype=jnp.uint8)

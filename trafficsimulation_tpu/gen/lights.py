@@ -288,6 +288,68 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     queue_group = jnp.where(is_int_cell, gp_flat, queue_group)
     queue_bucket = jnp.where(is_int_cell, jnp.int8(4), queue_bucket)
 
+    # ---- 6d. axis-aligned run decomposition of the queue labels.  Per
+    # tick, a run's occupancy count is a difference of two prefix sums
+    # (fsm.group_reductions), so the scalar-bound gather shrinks from
+    # one element per labeled CELL to two per RUN (~5x at range 10).
+    # Exact segmented-chain lengths via log-doubling; every labeled cell
+    # lands in exactly one run (vertical chains first, the rest become
+    # horizontal runs, length-1 runs allowed).
+    lab = jnp.where(queue_group >= 0,
+                    queue_group * 5 + queue_bucket.astype(jnp.int32),
+                    -1).reshape(H, W)
+
+    def _shift_fill(x, dy, dx, fill):
+        out = x
+        if dy:
+            pad = jnp.full((abs(dy), W), fill, x.dtype)
+            out = (jnp.concatenate([pad, out[:-dy]], 0) if dy > 0
+                   else jnp.concatenate([out[-dy:], pad], 0))
+        if dx:
+            pad = jnp.full((H, abs(dx)), fill, x.dtype)
+            out = (jnp.concatenate([pad, out[:, :-dx]], 1) if dx > 0
+                   else jnp.concatenate([out[:, -dx:], pad], 1))
+        return out
+
+    labeled = lab >= 0
+    same_up = labeled & (lab == _shift_fill(lab, 1, 0, -1))
+    same_dn = labeled & (lab == _shift_fill(lab, -1, 0, -1))
+    vish = labeled & (same_up | same_dn)
+    hish = labeled & ~vish
+    same_w = hish & (lab == _shift_fill(lab, 0, 1, -1)) & \
+        _shift_fill(hish, 0, 1, False)
+
+    def chain_len(s, dy, dx):
+        """d[c] = length of the consecutive s-chain ending at c (number
+        of predecessors linked to c through s)."""
+        d = s.astype(jnp.int32)
+        step = 1
+        n = H if dy else W
+        while step < n:
+            up = _shift_fill(d, step * dy, step * dx, 0)
+            d = d + jnp.where(d == step, up, 0)
+            step *= 2
+        return d
+
+    dv = chain_len(same_up, 1, 0)       # predecessors above
+    dh = chain_len(same_w, 0, 1)        # predecessors to the left
+    v_end = vish & ~same_dn             # bottom cell of each column chain
+    h_end = hish & ~(_shift_fill(same_w, 0, -1, False))
+    v_len = dv + 1
+    h_len = dh + 1
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    OFF_V = H * (W + 1)
+    # H-run over x0..x1 at row y: P[y*(W+1)+x0] .. P[y*(W+1)+x1+1]
+    h_lo = yy * (W + 1) + (xx - h_len + 1)
+    h_hi = yy * (W + 1) + xx + 1
+    # V-run over y0..y1 at col x: offset + y0*W+x .. offset + (y1+1)*W+x
+    v_lo = OFF_V + (yy - v_len + 1) * W + xx
+    v_hi = OFF_V + (yy + 1) * W + xx
+    run_end = v_end | h_end
+    run_lo_plane = jnp.where(v_end, v_lo, h_lo)
+    run_hi_plane = jnp.where(v_end, v_hi, h_hi)
+
     # ---- 7. group scalar features (`intersection_light_group.py:155-171`)
     pen_tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
                          cfg.VEHICLE_ROAD_TYPES_PENALTY_R2,
@@ -381,4 +443,8 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
         queue_group=queue_group.reshape(H, W),
         queue_bucket=queue_bucket.reshape(H, W),
         light_of_cell=light_of_cell.reshape(H, W),
+        run_end=run_end,
+        run_lo_plane=run_lo_plane,
+        run_hi_plane=run_hi_plane,
+        run_seg_plane=jnp.where(run_end, lab, -1),
     )

@@ -102,27 +102,38 @@ def field_to_u16(F: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(F >= routing.INF, jnp.uint16(INF_U16), v)
 
 
+def _entry_costs(cfg: Config, allowed, is_road, enter2, hard):
+    """Shared per-direction move tables: (legal, pen_m, can_mv).
+    pen_m[m]: additive entry cost of moving in direction m (i32, huge
+    when blocked); can_mv[m]: the move lands on road and not on a hard
+    cell (the wavefront's permission)."""
+    cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
+    legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
+    pen_m, can_mv = [], []
+    for m in range(4):
+        en = nbr(enter2, m, jnp.int32(60000))
+        hd = nbr(hard, m, True)
+        rd = nbr(is_road, m, False)
+        ok = (legal[m] | rd) & ~hd
+        can_mv.append(ok)
+        pen = en + jnp.where(legal[m], 0, cp2)
+        pen_m.append(jnp.where(ok, jnp.minimum(pen, 60000),
+                               jnp.int32(1 << 17)).astype(jnp.int32))
+    return legal, pen_m, can_mv
+
+
 def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
                is_road: jnp.ndarray, enter2: jnp.ndarray,
                hard: jnp.ndarray) -> jnp.ndarray:
-    """Per-destination next-move plane u16 [D, H, W].
+    """Per-destination next-move plane u8 [D, H, W] (the compact form of
+    round-1's `next_dir_planes` [D, 5, H, W]): bits 0-2 best move
+    direction (7 = no move), bit 3 = best move is contraflow, bits 4-7 =
+    heading h may continue straight instead (within TURN_PENALTY of
+    best; straight bits are only set for *legal* moves).
 
-    Low byte — static descent (the compact form of round-1's
-    `next_dir_planes` [D, 5, H, W]): bits 0-2 best move direction (7 =
-    no move), bit 3 = best move is contraflow, bits 4-7 = heading h may
-    continue straight instead (within TURN_PENALTY of best; straight
-    bits are only set for *legal* moves).
-
-    High nibble — the overtake merge WAVEFRONT, the array form of the
-    reference's phase-3 contraflow splice (`vehicle_base.py:309-366`):
-    for each destination, "merge cells" are the free cells immediately
-    downstream (along the static flow) of a hard blocker; a bounded
-    backward wavefront (<= VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS) labels
-    each nearby cell with the descent direction toward the nearest merge
-    cell.  Bits 8-10 = wavefront move direction (7 = none), bit 11 = that
-    move is contraflow.  Only vehicles holding a contraflow allowance
-    follow the wavefront (engine `resolve_dir`); everyone else uses the
-    static byte, so opposite-lane through-traffic is unaffected.
+    The overtake merge wavefront lives in a SEPARATE shared [H, W] plane
+    (`build_wavefront`) — per-dest wavefronts cost D times the memory
+    traffic for nearly identical answers near a blocker.
 
     enter2: i32 [H, W] = round(2 * (1 + road_penalty + soft dynamic
     costs)) of the cell being entered; hard: impassable cells
@@ -133,25 +144,13 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
     H, W = allowed.shape
     tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
-    cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
-    K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
-    BIGW = jnp.int32(127)
+    legal, pen_m, _ = _entry_costs(cfg, allowed, is_road, enter2, hard)
 
-    legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
-    # additive entry cost per move direction (u16-saturated; BIG when the
-    # target is blocked).  Shifted once, reused across all destinations.
-    pen_m = []
-    can_mv = []   # wavefront move permission: onto road, not hard
-    for m in range(4):
-        en = nbr(enter2, m, jnp.int32(60000))
-        hd = nbr(hard, m, True)
-        rd = nbr(is_road, m, False)
-        ok = (legal[m] | rd) & ~hd
-        can_mv.append(ok)
-        pen = en + jnp.where(legal[m], 0, cp2)
-        pen_m.append(jnp.where(ok, jnp.minimum(pen, 60000),
-                               jnp.int32(1 << 17)).astype(jnp.int32))
-    road_free = is_road & ~hard
+    if _on_tpu():
+        pen4 = jnp.stack(pen_m)
+        legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
+        return pallas_engine.build_sdir_pallas(
+            cfg, F_u16, pen4, legal4).astype(jnp.uint8)
 
     def block(rows):
         """Encode a [DB, 4, H, W] block of field rows (vectorized over
@@ -178,39 +177,7 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
             sraw = jnp.where(legal[h][None], cands[h], BIG)
             ok_h = (sraw <= best + tp2) & (sraw < BIG)
             enc = enc | (ok_h.astype(jnp.uint8) << (4 + h))
-        stat = jnp.where(none, jnp.uint8(7), enc)
-
-        # ---- overtake merge wavefront -----------------------------------
-        # merge cells: free road cells one static-flow step downstream of
-        # a hard cell (the "first free cell past the blocker",
-        # `vehicle_base.py:309-366`)
-        bd = (stat & 7).astype(jnp.int32)
-        src = jnp.zeros(stat.shape, bool)
-        for m in range(4):
-            src = src | nbr(hard[None] & (bd == m), C.opposite(m), False)
-        src = src & road_free[None]
-        Wv = jnp.where(src, 0, BIGW)
-        for _ in range(K_OVT):
-            nv = Wv
-            for m in range(4):
-                c = jnp.where(can_mv[m][None], nbr(Wv, m, BIGW), BIGW) + 1
-                nv = jnp.minimum(nv, c)
-            Wv = jnp.minimum(nv, BIGW)
-        wbest = jnp.full(Wv.shape, BIGW)
-        warg = jnp.full(Wv.shape, jnp.uint16(7))
-        for m in range(4):
-            c = jnp.where(can_mv[m][None], nbr(Wv, m, BIGW), BIGW)
-            upd = c < wbest
-            wbest = jnp.where(upd, c, wbest)
-            warg = jnp.where(upd, jnp.uint16(m), warg)
-        wvalid = (Wv <= K_OVT) & (wbest < Wv)
-        wcontra = ~(jnp.where(warg == 0, legal[0][None],
-                    jnp.where(warg == 1, legal[1][None],
-                    jnp.where(warg == 2, legal[2][None], legal[3][None]))))
-        wbits = jnp.where(wvalid,
-                          warg | (wcontra.astype(jnp.uint16) << 3),
-                          jnp.uint16(7))
-        return stat.astype(jnp.uint16) | (wbits << 8)
+        return jnp.where(none, jnp.uint8(7), enc)
 
     # block over destinations: vector-wide math, bounded transients
     # (a [DB, 4, H, W] slice copy stays ~8 MB so vmapped world batches
@@ -228,10 +195,56 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
             out, block(rows), i * DB, axis=0)
 
     return jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((D, H, W), jnp.uint16))
+        0, nblk, body, jnp.zeros((D, H, W), jnp.uint8))
 
 
-ND_NONE = 7 | (7 << 8)   # no static move, no wavefront
+def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
+                    enter2: jnp.ndarray, hard: jnp.ndarray) -> jnp.ndarray:
+    """Shared overtake merge wavefront u8 [H, W] — the array form of the
+    reference's phase-3 contraflow splice (`vehicle_base.py:309-366`):
+    "merge cells" are the free road cells immediately downstream (along
+    the lane flow) of a hard blocker; a bounded backward wavefront
+    (<= VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS) labels each nearby cell
+    with the descent direction toward the nearest merge cell.  Bits 0-2 =
+    wavefront move direction (7 = none), bit 3 = that move is contraflow.
+    Only vehicles holding a contraflow allowance follow it (engine
+    `resolve_dir`), so opposite-lane through-traffic is unaffected."""
+    H, W = allowed.shape
+    K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
+    BIGW = jnp.int32(127)
+    legal, _, can_mv = _entry_costs(cfg, allowed, is_road, enter2, hard)
+    road_free = is_road & ~hard
+
+    # merge cells: free road cells one lane-flow step downstream of a
+    # hard cell (the "first free cell past the blocker")
+    src = jnp.zeros((H, W), bool)
+    for m in range(4):
+        src = src | nbr(hard & legal[m], C.opposite(m), False)
+    src = src & road_free
+    Wv = jnp.where(src, 0, BIGW)
+    for _ in range(K_OVT):
+        nv = Wv
+        for m in range(4):
+            c = jnp.where(can_mv[m], nbr(Wv, m, BIGW), BIGW) + 1
+            nv = jnp.minimum(nv, c)
+        Wv = jnp.minimum(nv, BIGW)
+    wbest = jnp.full((H, W), BIGW)
+    warg = jnp.full((H, W), jnp.uint8(7))
+    for m in range(4):
+        c = jnp.where(can_mv[m], nbr(Wv, m, BIGW), BIGW)
+        upd = c < wbest
+        wbest = jnp.where(upd, c, wbest)
+        warg = jnp.where(upd, jnp.uint8(m), warg)
+    wvalid = (Wv <= K_OVT) & (wbest < Wv)
+    wcontra = ~(jnp.where(warg == 0, legal[0],
+                jnp.where(warg == 1, legal[1],
+                jnp.where(warg == 2, legal[2], legal[3]))))
+    return jnp.where(wvalid, warg | (wcontra.astype(jnp.uint8) << 3),
+                     jnp.uint8(7))
+
+
+ND_NONE = 7        # no static move
+WND_NONE = 7       # no wavefront move
 
 
 def select_dest_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
@@ -258,13 +271,13 @@ def select_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     return select_dest_rows(sdir, dest)
 
 
-def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None):
-    """Per-cell move direction from the sdir word and heading (+1).
+def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None, wnd=None):
+    """Per-cell move direction from the sdir byte and heading (+1).
     Returns (dir [H,W] i32 with 7 = none, contra bool).
 
-    `allow`: vehicles holding a contraflow allowance follow the overtake
-    merge wavefront (high nibble) when one exists at their cell — the
-    reference's committed splice toward the merge cell
+    `allow` + `wnd`: vehicles holding a contraflow allowance follow the
+    shared overtake merge wavefront plane when one exists at their cell
+    — the reference's committed splice toward the merge cell
     (`vehicle_base.py:309-366`); everyone else descends the static
     byte."""
     ndi = nd.astype(jnp.int32)
@@ -273,12 +286,13 @@ def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None):
     sok = sok & (head1 > 0)
     bestdir = ndi & 7
     d = jnp.where(sok, h, bestdir)
-    contra = jnp.where(sok, False, (ndi & 8) != 0)
+    contra = ~sok & ((ndi & 8) != 0)
     if allow is not None:
-        wdir = (ndi >> 8) & 7
+        wi = wnd.astype(jnp.int32)
+        wdir = wi & 7
         use_w = allow & (wdir < 7)
         d = jnp.where(use_w, wdir, d)
-        contra = jnp.where(use_w, (ndi & (1 << 11)) != 0, contra)
+        contra = (use_w & ((wi & 8) != 0)) | (~use_w & contra)
     return d, contra
 
 
@@ -443,9 +457,11 @@ def _sat_add1(field_i32, cap):
     return jnp.minimum(field_i32 + 1, cap)
 
 
-def routing_planes(cfg: Config, world, es: EngineState) -> jnp.ndarray:
-    """Build the per-destination next-move planes (`build_sdir`) from the
-    CURRENT dynamic state (density, stops, stranded vehicles).
+def routing_planes(cfg: Config, world, es: EngineState):
+    """Build the per-destination next-move planes (`build_sdir`) plus
+    the shared overtake wavefront (`build_wavefront`) from the CURRENT
+    dynamic state (density, stops, stranded vehicles).  Returns
+    (sdir u8 [D, H, W], wnd u8 [H, W]).
 
     Called once per PATHFINDING_COOLDOWN ticks (`run_chunk`), not per
     tick: the reference replans a vehicle's path at most every
@@ -476,12 +492,16 @@ def routing_planes(cfg: Config, world, es: EngineState) -> jnp.ndarray:
     hard = stranded_occ
     if cfg.PEDESTRIANS_ENABLED:
         hard = hard | (es.ped_map > 0)
-    return build_sdir(cfg, world.cost_field, grid.allowed_dirs,
+    sdir = build_sdir(cfg, world.cost_field, grid.allowed_dirs,
                       grid.is_road, enter2, hard)
+    wnd = build_wavefront(cfg, grid.allowed_dirs, grid.is_road, enter2,
+                          hard)
+    return sdir, wnd
 
 
 def step_engine(cfg: Config, world, es: EngineState,
-                sdir: jnp.ndarray = None) -> EngineState:
+                sdir: jnp.ndarray = None,
+                spawn_slots: jnp.ndarray = None) -> EngineState:
     """One simulation tick on the plane representation.  Mirrors the
     reference tick order (`CityModel.step` `city_model.py:1831-1860`) —
     see module docstring for the semantics mapping.
@@ -557,6 +577,7 @@ def step_engine(cfg: Config, world, es: EngineState,
     # shared by the XLA path and the VMEM-resident TPU kernel)
     if sdir is None:
         sdir = routing_planes(cfg, world, es)
+    sdir, wnd = sdir
     ped_bit = (ped_plane if ped_plane is not None
                else jnp.zeros((H, W), bool))
     randoms = (jax.random.uniform(k_mal, (H, W)),
@@ -567,19 +588,23 @@ def step_engine(cfg: Config, world, es: EngineState,
     planes_in = (pa, pb, pc, pd, pe, pl)
     if _use_pallas(cfg, sdir.shape[0]):
         out = pallas_engine.decide_move_pallas(
-            cfg, sdir, planes_in, stop_map, es.rain_map, ped_bit,
+            cfg, sdir, wnd, planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, randoms)
     else:
         out = pallas_engine.decide_move_core(
-            cfg, nbr, lambda dest: select_rows(sdir, dest),
+            cfg, nbr, lambda dest: select_rows(sdir, dest), wnd,
             *planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, *randoms)
     pa, pb, pc, pd, pe, pl, flags = out
-    events = (jnp.sum((flags & pallas_engine.FLAG_NEW_MAL) != 0),
-              jnp.sum((flags & pallas_engine.FLAG_NEW_COL) != 0))
+    # one fused reduction for both event counters (bit-packed: new
+    # malfunctions in the low half, new collisions above; counts < 2^16)
+    packed = jnp.sum((flags & pallas_engine.FLAG_NEW_MAL)
+                     + ((flags & pallas_engine.FLAG_NEW_COL) >> 1) * 65536)
+    events = (packed & 0xFFFF, packed >> 16)
     return _post_move(cfg, world, es, (pa, pb, pc, pd, pe, pl),
                       lights, stop_map, density, peds, ped_map,
-                      tick, elapsed, key, k_rain, rl_state, events)
+                      tick, elapsed, key, k_rain, rl_state, events,
+                      spawn_slots=spawn_slots)
 
 
 def _on_tpu() -> bool:
@@ -597,18 +622,10 @@ def _use_pallas(cfg: Config, D: int) -> bool:
     return _on_tpu() and pallas_engine.vmem_fits(cfg, D)
 
 
-def _clear_veh(planes, mask):
-    """Remove vehicles where mask is True."""
-    pa, pb, pc, pd, pe, pl = planes
-    z = jnp.uint32(0)
-    return (jnp.where(mask, z, pa), jnp.where(mask, z, pb),
-            jnp.where(mask, z, pc), jnp.where(mask, z, pd),
-            jnp.where(mask, z, pe), jnp.where(mask, 0.0, pl))
-
-
 def _post_move(cfg: Config, world, es: EngineState, planes, lights,
                stop_map, density, peds, ped_map, tick, elapsed, key,
-               k_rain, rl_state, events) -> EngineState:
+               k_rain, rl_state, events,
+               spawn_slots: jnp.ndarray = None) -> EngineState:
     """Arrivals, service FSM, despawns, demand spawning, daily counters,
     rain and block resources (reference `CityModel.step` tail +
     `on_target_reached` `vehicle_base.py:755-775` +
@@ -633,37 +650,48 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     # Arrivals can only happen at the (few, static) destination cells, so
     # every arrival metric reduces over the [Dall] gathered rows instead
     # of the full grid (TPU reductions have a fixed multi-pass cost per
-    # plane; ~15 grid-wide sums here were 25% of the tick).
+    # plane; ~15 grid-wide sums here were 25% of the tick).  All six
+    # planes ride ONE packed [HW, 6] row stack: gathers/scatters then
+    # cost one ~24-byte row transaction per destination instead of six
+    # separate scalar elements (TPU gathers price per element).
     Dall = dests.pos.shape[0]
     B = bs.valid.shape[0]
     dpos = jnp.clip(dests.pos, 0, HW - 1)
-    paf, pdf, plf = pa.reshape(-1), pd.reshape(-1), pl.reshape(-1)
-    pcf = pc.reshape(-1)
-    pa_d = paf[dpos]
-    pd_d = pdf[dpos]
-    pl_d = plf[dpos]
+    plb = jax.lax.bitcast_convert_type(pl, jnp.uint32)
+    pstack = jnp.stack([pa.reshape(-1), pb.reshape(-1), pc.reshape(-1),
+                        pd.reshape(-1), pe.reshape(-1), plb.reshape(-1)],
+                       axis=-1)                       # [HW, 6] u32
+    rows_d = pstack[dpos]                             # one row gather
+    pa_d = rows_d[:, 0]
+    pc_d = rows_d[:, 2]
+    pd_d = rows_d[:, 3]
+    pe_d = rows_d[:, 4]
+    pl_d = jax.lax.bitcast_convert_type(rows_d[:, 5], jnp.float32)
     is_here = dests.valid & ((pa_d & 1) == 1) & \
         (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
     kind_d = _fld(pa_d, PA_KIND_SH, 2)
-    dur_d = elapsed - _fld(pcf[dpos], PC_DEPART_SH, 20).astype(
+    dur_d = elapsed - _fld(pc_d, PC_DEPART_SH, 20).astype(
         jnp.float32) * dt
-    steps_d = _fld(pcf[dpos], PC_STEPS_SH, 12)
+    steps_d = _fld(pc_d, PC_STEPS_SH, 12)
 
     # ---- normal arrivals (`on_target_reached`) ----------------------------
+    # all six arrival reductions ride ONE [6, Dall] sum (each jnp.sum is
+    # its own multi-pass reduction otherwise)
     done_d = is_here & (kind_d <= KIND_THROUGH)
     done_i = done_d & (kind_d == KIND_INTERNAL)
     done_t = done_d & (kind_d == KIND_THROUGH)
+    arr = jnp.stack([
+        done_i.astype(jnp.float32), done_t.astype(jnp.float32),
+        jnp.where(done_i, dur_d, 0.0), jnp.where(done_t, dur_d, 0.0),
+        jnp.where(done_i, steps_d, 0).astype(jnp.float32),
+        jnp.where(done_t, steps_d, 0).astype(jnp.float32)]).sum(axis=1)
     m = m.replace(
-        completed_internal=m.completed_internal + jnp.sum(done_i),
-        completed_through=m.completed_through + jnp.sum(done_t),
-        sum_duration_internal=m.sum_duration_internal + jnp.sum(
-            jnp.where(done_i, dur_d, 0.0)),
-        sum_duration_through=m.sum_duration_through + jnp.sum(
-            jnp.where(done_t, dur_d, 0.0)),
-        sum_steps_internal=m.sum_steps_internal + jnp.sum(
-            jnp.where(done_i, steps_d, 0)),
-        sum_steps_through=m.sum_steps_through + jnp.sum(
-            jnp.where(done_t, steps_d, 0)),
+        completed_internal=m.completed_internal + arr[0].astype(jnp.int32),
+        completed_through=m.completed_through + arr[1].astype(jnp.int32),
+        sum_duration_internal=m.sum_duration_internal + arr[2],
+        sum_duration_through=m.sum_duration_through + arr[3],
+        sum_steps_internal=m.sum_steps_internal + arr[4].astype(jnp.int32),
+        sum_steps_through=m.sum_steps_through + arr[5].astype(jnp.int32),
         malfunctions_total=m.malfunctions_total + events[0],
         collisions_total=m.collisions_total + events[1])
     is_svc = is_here & (kind_d >= KIND_FOOD)
@@ -718,7 +746,8 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     phase_d = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase_d))
     parked_d = parked_d & ~finish
 
-    # scatter the updated service rows back into the planes
+    # scatter the updated service rows back (one row scatter; untouched
+    # destinations write out of bounds and drop)
     touch = is_svc
     tpos = jnp.where(touch, dpos, HW)
     pa_d_new = (pa_d & ~jnp.uint32((1 << PA_PARKED_SH)
@@ -728,27 +757,24 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pd_d_new = (_u32(phase_d)
                 | (_u32(jnp.clip(timer_d, 0, 255)) << PD_TIMER_SH)
                 | (_u32(new_sb) << PD_BLOCK_SH))
-    paf = jnp.concatenate([paf, jnp.zeros((1,), jnp.uint32)])
-    pdf = jnp.concatenate([pdf, jnp.zeros((1,), jnp.uint32)])
-    plf = jnp.concatenate([plf, jnp.zeros((1,), jnp.float32)])
-    paf = paf.at[tpos].set(jnp.where(touch, pa_d_new, paf[tpos]))[:HW]
-    pdf = pdf.at[tpos].set(jnp.where(touch, pd_d_new, pdf[tpos]))[:HW]
-    plf = plf.at[tpos].set(jnp.where(touch, pl_d, plf[tpos]))[:HW]
-    pa = paf.reshape(H, W)
-    pd = pdf.reshape(H, W)
-    pl = plf.reshape(H, W)
+    rows_new = rows_d.at[:, 0].set(pa_d_new).at[:, 3].set(pd_d_new) \
+        .at[:, 5].set(jax.lax.bitcast_convert_type(pl_d, jnp.uint32))
+    pstack = pstack.at[tpos].set(rows_new, mode="drop")
 
     # service exit arrival: counted as a through completion (service
     # vehicles carry population_type="through", `vehicle_service.py:36`)
     svc_done_d = is_here & (kind_d >= KIND_FOOD) & \
         (_fld(pd_d, PD_PHASE_SH, 2) == 2) & (dests.kind == 1)
+    svc = jnp.stack([
+        svc_done_d.astype(jnp.float32),
+        jnp.where(svc_done_d, dur_d, 0.0),
+        jnp.where(svc_done_d, steps_d, 0).astype(jnp.float32)]).sum(axis=1)
+    n_svc_done = svc[0].astype(jnp.int32)
     m = m.replace(
-        completed_through=m.completed_through + jnp.sum(svc_done_d),
-        completed_service=m.completed_service + jnp.sum(svc_done_d),
-        sum_duration_through=m.sum_duration_through + jnp.sum(
-            jnp.where(svc_done_d, dur_d, 0.0)),
-        sum_steps_through=m.sum_steps_through + jnp.sum(
-            jnp.where(svc_done_d, steps_d, 0)))
+        completed_through=m.completed_through + n_svc_done,
+        completed_service=m.completed_service + n_svc_done,
+        sum_duration_through=m.sum_duration_through + svc[1],
+        sum_steps_through=m.sum_steps_through + svc[2].astype(jnp.int32))
 
     # ---- despawns ----------------------------------------------------------
     despawn_d = done_d | svc_done_d
@@ -774,15 +800,14 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         slot_used = slot_used.at[slotk].set(False, mode="drop")
     else:
         # arrivals only happen at destination cells: free those slots
-        # with a Dall-sized scatter
-        slot_f = pe.reshape(-1)[dpos].astype(jnp.int32)
+        # with a Dall-sized scatter (pe rows already gathered)
+        slot_f = pe_d.astype(jnp.int32)
         slot_used = slot_used.at[
             jnp.where(despawn_d, jnp.clip(slot_f, 0, V - 1), V)].set(
             False, mode="drop")
 
-    planes = _clear_veh((pa, pb, pc, pd, pe, pl), despawn)
-    pa, pb, pc, pd, pe, pl = planes
-    paf = pa.reshape(-1)
+    pstack = jnp.where(despawn.reshape(-1)[:, None], jnp.uint32(0), pstack)
+    paf = pstack[:, 0]
 
     # ---- demand spawning (trip table pre-generated; see agents/demand) ----
     key, k_spawn = jax.random.split(key)
@@ -796,8 +821,13 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
     if not cfg.ENABLE_TRAFFIC:   # reference ENABLE_TRAFFIC flag
         due = due & False
-    slots = jnp.nonzero(~slot_used, size=S, fill_value=-1)[0].astype(
-        jnp.int32)
+    if spawn_slots is None:
+        # single-tick path: find S free pool slots now.  run_chunk
+        # precomputes a whole segment's slot list instead (one free-slot
+        # compaction per PATHFINDING_COOLDOWN ticks, not per tick).
+        spawn_slots = jnp.nonzero(~slot_used, size=S, fill_value=-1)[
+            0].astype(jnp.int32)
+    slots = spawn_slots
     can = due & (slots >= 0)
     org = jnp.clip(dem.origin[j], 0, HW - 1)
     occupied = (paf[org] & 1) == 1
@@ -826,20 +856,25 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
                     << PD_BLOCK_SH)
     spawn_pl = jnp.where(tkind == KIND_FOOD,
                          jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD), 0.0)
-
-    def put_plane(p, vals):
-        flat = jnp.concatenate([p.reshape(-1),
-                                jnp.zeros((1,), p.dtype)])
-        return flat.at[scell].set(vals.astype(p.dtype))[:HW].reshape(H, W)
-
-    pa = put_plane(pa, spawn_pa)
-    pb = put_plane(pb, jnp.zeros((S,), jnp.uint32))
-    pc = put_plane(pc, jnp.broadcast_to(spawn_pc, (S,)))
-    pd = put_plane(pd, spawn_pd)
-    pe = put_plane(pe, _u32(jnp.clip(slots, 0, V - 1)))
-    pl = put_plane(pl, spawn_pl)
+    spawn_rows = jnp.stack([
+        spawn_pa,
+        jnp.zeros((S,), jnp.uint32),
+        jnp.broadcast_to(spawn_pc, (S,)),
+        spawn_pd,
+        _u32(jnp.clip(slots, 0, V - 1)),
+        jax.lax.bitcast_convert_type(spawn_pl, jnp.uint32)], axis=-1)
+    pstack = pstack.at[scell].set(spawn_rows, mode="drop")
     slot_used = slot_used.at[jnp.where(place, slots, V)].set(
         True, mode="drop")
+
+    # unpack the packed stack back into the six planes
+    pa = pstack[:, 0].reshape(H, W)
+    pb = pstack[:, 1].reshape(H, W)
+    pc = pstack[:, 2].reshape(H, W)
+    pd = pstack[:, 3].reshape(H, W)
+    pe = pstack[:, 4].reshape(H, W)
+    pl = jax.lax.bitcast_convert_type(pstack[:, 5], jnp.float32).reshape(
+        H, W)
     dem = dem.replace(cursor=dem.cursor + jnp.sum(due))
     m = m.replace(
         created_internal=m.created_internal + jnp.sum(
@@ -859,7 +894,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     new_day = ((off + elapsed) // 86400).astype(jnp.int32)
     rolled = new_day > m.day
     tick_created = jnp.sum(can & (tkind <= KIND_THROUGH))
-    tick_finished = jnp.sum(done_d) + jnp.sum(svc_done_d)
+    tick_finished = (arr[0] + arr[1]).astype(jnp.int32) + n_svc_done
     m = m.replace(
         last_daily_difference=jnp.where(
             rolled, m.daily_finished - m.daily_created,

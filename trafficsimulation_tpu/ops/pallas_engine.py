@@ -74,7 +74,7 @@ def _fld(p, sh, bits):
     return ((p >> sh) & ((1 << bits) - 1)).astype(jnp.int32)
 
 
-def _resolve(nd, head1, allow):
+def _resolve(nd, head1, allow=None, wnd=None):
     """resolve_dir (see ops.engine.resolve_dir).  Bool selects are
     written as logical ops: Mosaic lacks i8->i1 select/trunc lowerings."""
     ndi = nd.astype(jnp.int32)
@@ -84,14 +84,15 @@ def _resolve(nd, head1, allow):
     d = jnp.where(sok, h, ndi & 7)
     contra = ~sok & ((ndi & 8) != 0)
     if allow is not None:
-        wdir = (ndi >> 8) & 7
+        wi = wnd.astype(jnp.int32)
+        wdir = wi & 7
         use_w = allow & (wdir < 7)
         d = jnp.where(use_w, wdir, d)
-        contra = (use_w & ((ndi & (1 << 11)) != 0)) | (~use_w & contra)
+        contra = (use_w & ((wi & 8) != 0)) | (~use_w & contra)
     return d, contra
 
 
-def decide_move_core(cfg: Config, shift, select,
+def decide_move_core(cfg: Config, shift, select, wnd,
                      pa, pb, pc, pd, pe, pl,
                      stop_map, rain_map, ped_block, intersection, dest_id,
                      r_mal, r_side, r_reroll, r_prio):
@@ -175,7 +176,7 @@ def decide_move_core(cfg: Config, shift, select,
     ct = jnp.maximum(_fld(pb, PB_CONTRA_SH, 8) - 1, 0)
     CF_CLEAR = ~jnp.uint32(0x3F << PD_CFMODE_SH)
     # overtake merge-back completion (`vehicle_base.py:219-277`)
-    wdir0 = (nd0.astype(jnp.int32) >> 8) & 7
+    wdir0 = wnd.astype(jnp.int32) & 7
     merged = present & (ct > 0) & ~_bit(pd, PD_CFMODE_SH) & \
         (wdir0 == 7) & (dir0 < 7) & ~contra0
     ct = jnp.where(merged, 0, ct)
@@ -231,7 +232,7 @@ def decide_move_core(cfg: Config, shift, select,
                            cfg.VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS,
                            cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS)
         allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
-        dir_, contra = _resolve(nd, h1, allow)
+        dir_, contra = _resolve(nd, h1, allow, wnd)
         can_dir = (dir_ < 7) & (~contra | allow)
         want = present_c & ~halt_latch & (steps_left > 0) & ~at_dest_c
 
@@ -304,7 +305,7 @@ def decide_move_core(cfg: Config, shift, select,
     # `vehicle_base.py:656-659`): the first move was impossible given
     # start-of-tick state (not merely lost to a conflict)
     bb0 = stop_map | occ0 | ped_block
-    dir0r, contra0r = _resolve(nd0, head1, present & (ct > 0))
+    dir0r, contra0r = _resolve(nd0, head1, present & (ct > 0), wnd)
     tgt_blocked0 = jnp.zeros((H, W), bool)
     for m in range(4):
         tgt_blocked0 = tgt_blocked0 | ((dir0r == m)
@@ -344,7 +345,7 @@ def _select_kernel(DB, dest_ref, sdir_ref, out_ref):
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = jnp.full(out_ref.shape, jnp.int32(7 | (7 << 8)))
+        out_ref[:] = jnp.full(out_ref.shape, jnp.int32(7))  # ND_NONE
 
     dest = dest_ref[:]
     out = out_ref[:]
@@ -389,6 +390,73 @@ def select_rows_pallas(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Streaming sdir (static next-move byte) builder
+# ---------------------------------------------------------------------------
+
+def _sdir_kernel(DB, tp2, INF_U16, BIG, F_ref, pen_ref, legal_ref, out_ref):
+    pen = [pen_ref[m] for m in range(4)]
+    legal = [legal_ref[m] != 0 for m in range(4)]
+    for k in range(DB):
+        cands = []
+        for m in range(4):
+            fn = _shift_roll(F_ref[k, m].astype(jnp.int32), m,
+                             jnp.int32(INF_U16))
+            c = jnp.where(fn >= INF_U16, BIG, fn + pen[m])
+            cands.append(jnp.minimum(c, BIG))
+        best01 = jnp.minimum(cands[0], cands[1])
+        best23 = jnp.minimum(cands[2], cands[3])
+        best = jnp.minimum(best01, best23)
+        arg = jnp.where(
+            best01 <= best23,
+            jnp.where(cands[0] <= cands[1], 0, 1),
+            jnp.where(cands[2] <= cands[3], 2, 3))
+        none = best >= BIG
+        # logical form: Mosaic lacks i1 select lowerings
+        leg_at_arg = (((arg == 0) & legal[0]) | ((arg == 1) & legal[1])
+                      | ((arg == 2) & legal[2]) | ((arg == 3) & legal[3]))
+        contra = ~leg_at_arg
+        enc = arg | (contra.astype(jnp.int32) << 3)
+        for h in range(4):
+            ok_h = legal[h] & (cands[h] <= best + tp2) & (cands[h] < BIG)
+            enc = enc | (ok_h.astype(jnp.int32) << (4 + h))
+        out_ref[k] = jnp.where(none, jnp.int32(7), enc)
+
+
+def build_sdir_pallas(cfg: Config, F_u16, pen4, legal4) -> jnp.ndarray:
+    """TPU kernel form of `ops.engine.build_sdir`'s static byte: streams
+    the [D, 4, H, W] cost-field stack through VMEM in destination blocks
+    and encodes the next-move byte entirely on-chip — HBM traffic is one
+    read of F plus one i32 write of sdir (the XLA version materializes
+    ~15 [D, H, W] i32 transients).  Returns i32 [D, H, W] (Mosaic lacks
+    sub-32-bit stores; the caller narrows to u8 outside the kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import engine as E
+
+    D, _, H, W = F_u16.shape
+    tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
+              if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
+    DB = max(1, min(D, (2 * 1024 * 1024) // (4 * H * W * 2)))
+    while D % DB != 0:
+        DB -= 1
+    return pl.pallas_call(
+        functools.partial(_sdir_kernel, DB, tp2, E.INF_U16, E.BIG),
+        grid=(D // DB,),
+        in_specs=[
+            pl.BlockSpec((DB, 4, H, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((DB, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, W), jnp.int32),
+    )(F_u16, pen4, legal4)
+
+
+# ---------------------------------------------------------------------------
 # Pallas executor
 # ---------------------------------------------------------------------------
 
@@ -428,19 +496,19 @@ def _shift_roll(x, d, fill):
     return out
 
 
-def _kernel(cfg, D, sdir_ref, pa_ref, pb_ref, pc_ref, pd_ref, pe_ref,
-            pl_ref, stop_ref, rain_ref, ped_ref, inter_ref, dest_ref,
-            rmal_ref, rside_ref, rrer_ref, rprio_ref,
+def _kernel(cfg, D, sdir_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref,
+            pe_ref, pl_ref, stop_ref, rain_ref, ped_ref, inter_ref,
+            dest_ref, rmal_ref, rside_ref, rrer_ref, rprio_ref,
             opa, opb, opc, opd, ope, opl, oflags):
     def select(dest):
-        # i32 selects: Mosaic lacks 16-bit select lowerings
-        nd = jnp.full(dest.shape, jnp.int32(7 | (7 << 8)))
+        # i32 selects: Mosaic lacks sub-32-bit select lowerings
+        nd = jnp.full(dest.shape, jnp.int32(7))
         for d in range(D):
             nd = jnp.where(dest == d, sdir_ref[d].astype(jnp.int32), nd)
         return nd
 
     out = decide_move_core(
-        cfg, _shift_roll, select,
+        cfg, _shift_roll, select, wnd_ref[:],
         pa_ref[:], pb_ref[:], pc_ref[:], pd_ref[:], pe_ref[:], pl_ref[:],
         stop_ref[:] != 0, rain_ref[:] != 0, ped_ref[:] != 0,
         inter_ref[:] != 0, dest_ref[:],
@@ -456,15 +524,18 @@ def _kernel(cfg, D, sdir_ref, pa_ref, pb_ref, pc_ref, pd_ref, pe_ref,
 
 
 def vmem_fits(cfg: Config, D: int) -> bool:
-    """Whole-grid kernel viability: sdir + planes + working set must fit
-    in VMEM (~16 MB/core, leave headroom for Mosaic temporaries)."""
+    """Whole-grid kernel viability: sdir + planes + Mosaic's scoped
+    stack must fit in VMEM.  The kernel's live set across the K movement
+    sub-rounds measures ~120 [H, W] i32 planes of temporaries (a 256x256
+    D=64 compile reports 35.6 MB of scoped vmem), so only smaller grids
+    qualify; the XLA path is within ~7% anyway at 256x256."""
     H, W = cfg.HEIGHT, cfg.WIDTH
     hw = H * W
-    need = D * hw * 2 + 6 * hw * 4 + 10 * hw * 4
+    need = D * hw * 1 + 130 * hw * 4
     return need < 11 * 1024 * 1024
 
 
-def decide_move_pallas(cfg: Config, sdir, planes, stop_map, rain_map,
+def decide_move_pallas(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
                        ped_block, intersection, dest_id, randoms,
                        interpret: bool = False):
     """Run `decide_move_core` as one VMEM-resident TPU kernel."""
@@ -487,13 +558,13 @@ def decide_move_pallas(cfg: Config, sdir, planes, stop_map, rain_map,
         jax.ShapeDtypeStruct((H, W), jnp.int32),
     )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_in = 16
+    n_in = 17
     return pl.pallas_call(
         functools.partial(_kernel, cfg, D),
         out_shape=outs,
         in_specs=[spec] * n_in,
         out_specs=(spec,) * 7,
         interpret=interpret,
-    )(sdir, pa, pb, pc, pd, pe, pl_,
+    )(sdir, i32(wnd), pa, pb, pc, pd, pe, pl_,
       i32(stop_map), i32(rain_map), i32(ped_block), i32(intersection),
       dest_id, r_mal, r_side, r_reroll, r_prio)

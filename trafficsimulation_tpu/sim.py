@@ -194,14 +194,22 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
     happen per sub-round)."""
     es = _enter_engine(cfg, world)
     R = max(1, cfg.PATHFINDING_COOLDOWN) if cfg.PATHFINDING_CACHE else 1
+    S = cfg.capacities().max_spawns_per_tick
 
     def seg(e, length):
         sdir = engine.routing_planes(cfg, world, e)
+        # one free-slot compaction per segment: tick i consumes its own
+        # disjoint S-slice (slots freed mid-segment are reused next
+        # segment; V has ample headroom for R*S spawns)
+        slots0 = jnp.nonzero(~e.slot_used, size=length * S,
+                             fill_value=-1)[0].astype(jnp.int32)
 
-        def body(e2, _):
-            return engine.step_engine(cfg, world, e2, sdir=sdir), None
+        def body(e2, i):
+            sl = jax.lax.dynamic_slice_in_dim(slots0, i * S, S)
+            return engine.step_engine(cfg, world, e2, sdir=sdir,
+                                      spawn_slots=sl), None
 
-        e, _ = jax.lax.scan(body, e, None, length=length)
+        e, _ = jax.lax.scan(body, e, jnp.arange(length))
         return e
 
     q, r = divmod(n, R)
@@ -440,6 +448,8 @@ def measure_and_shrink(cfg: Config, world: World):
 
     n_queue = _pow2(int((np.asarray(gs.queue_qgroup) >= 0).sum()) + 1)
     n_queue = min(n_queue, gs.queue_cells.shape[0])
+    n_runs = _pow2(int((np.asarray(gs.run_seg) >= 0).sum()) + 1)
+    n_runs = min(n_runs, gs.run_seg.shape[0])
     n_lights = _pow2(int(np.asarray(ls.valid).sum()) + 1)
     n_assign = _pow2(int(np.asarray(ls.assign_valid).sum()) + 1)
     n_groups = _pow2(max(int(np.asarray(world.grid.group_id).max()),
@@ -480,7 +490,10 @@ def measure_and_shrink(cfg: Config, world: World):
             penalty_score=sl(gs.penalty_score, n_groups),
             queue_cells=sl(gs.queue_cells, n_queue),
             queue_qgroup=sl(gs.queue_qgroup, n_queue),
-            queue_qbucket=sl(gs.queue_qbucket, n_queue)),
+            queue_qbucket=sl(gs.queue_qbucket, n_queue),
+            run_lo=sl(gs.run_lo, n_runs),
+            run_hi=sl(gs.run_hi, n_runs),
+            run_seg=sl(gs.run_seg, n_runs)),
         blocks_static=jax.tree.map(lambda a: a[:n_blocks], bs),
         dests=dests.replace(
             valid=sl(dests.valid, n_dests), pos=sl(dests.pos, n_dests),
