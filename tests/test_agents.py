@@ -140,9 +140,15 @@ def test_rl_smoke_all_algorithms(small_cfg):
         gv = np.asarray(w.groups_static.valid)
         ph = np.asarray(w.lights.current_phase)
         assert (ph[gv] >= 0).all(), algo
-        # gradient steps actually ran: parameters moved
+        # gradient steps actually ran: parameters moved AND the
+        # optimizer's step counter advanced (lax.cond-gated training
+        # makes "never trains" a silent failure mode — VERDICT r1 #7)
         p1 = jax.tree_util.tree_leaves(w.rl.params)[0]
         assert not np.allclose(np.asarray(p0), np.asarray(p1)), algo
+        counts = [int(x) for x in jax.tree_util.tree_leaves(w.rl.opt_state)
+                  if np.ndim(x) == 0 and np.issubdtype(
+                      np.asarray(x).dtype, np.integer)]
+        assert counts and max(counts) > 0, (algo, counts)
 
 
 def test_checkpoint_roundtrip(small_cfg, small_world):
