@@ -60,6 +60,48 @@ def test_pallas_kernel_matches_xla_core():
     assert (np.asarray(ref[6]) & pallas_engine.FLAG_MOVED).any()
 
 
+def test_tiled_kernel_matches_core():
+    """The halo-tiled fused kernel is bit-identical to the whole-grid
+    core across tile boundaries (the TILE_HALO ring absorbs window-edge
+    contamination), even at dense random occupancy and tiny tiles."""
+    from trafficsimulation_tpu.config import Config
+    from trafficsimulation_tpu.ops.routing import _shift_plane
+
+    Hh, Ww, D = 64, 64, 8
+    cfg = Config(WIDTH=Ww, HEIGHT=Hh, RAIN_ENABLED=True,
+                 VEHICLE_MALFUNCTION_ACTIVE=True,
+                 VEHICLE_SIDESWIPE_COLLISION_ACTIVE=True,
+                 VEHICLE_MIN_SPEED=1, VEHICLE_MAX_SPEED=5,
+                 MAX_VEHICLES=64, MAX_FIELD_DESTS=8)
+    for seed in (0, 3):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 16)
+        sdir = jax.random.randint(ks[0], (D, Hh, Ww), 0, 256).astype(
+            jnp.uint8)
+        wnd = jax.random.randint(ks[1], (Hh, Ww), 0, 16).astype(jnp.uint8)
+        planes = tuple(jax.random.bits(ks[i + 2], (Hh, Ww))
+                       for i in range(5)) + (
+            jax.random.uniform(ks[7], (Hh, Ww)),)
+        stop = jax.random.bernoulli(ks[8], 0.15, (Hh, Ww))
+        rain = jax.random.bernoulli(ks[9], 0.1, (Hh, Ww))
+        ped = jax.random.bernoulli(ks[10], 0.02, (Hh, Ww))
+        inter = jax.random.bernoulli(ks[11], 0.1, (Hh, Ww))
+        dest = jax.random.randint(ks[12], (Hh, Ww), -1, D)
+        randoms = (jax.random.uniform(ks[13], (Hh, Ww)),
+                   jax.random.uniform(ks[14], (Hh, Ww)),
+                   jax.random.randint(ks[15], (Hh, Ww), 1, 6),
+                   jax.random.bits(ks[0], (Hh, Ww)))
+        ref = pallas_engine.decide_move_core(
+            cfg, _shift_plane,
+            lambda d: engine.select_dest_rows(sdir, d), wnd,
+            *planes, stop, rain, ped, inter, dest, *randoms)
+        got = pallas_engine.decide_move_tiled(
+            cfg, sdir, wnd, planes, stop, rain, ped, inter, dest,
+            randoms, th=16, tw=32, interpret=True)
+        for n, a, b in zip(("pa", "pb", "pc", "pd", "pe", "pl", "flags"),
+                           ref, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (seed, n)
+
+
 def test_shift_roll_matches_shift_plane():
     """The kernel's roll+fill shift equals the padded-shift used by the
     XLA path for all four directions and several dtypes."""

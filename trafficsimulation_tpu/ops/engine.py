@@ -146,7 +146,10 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
     legal, pen_m, _ = _entry_costs(cfg, allowed, is_road, enter2, hard)
 
-    if _on_tpu():
+    # kernel VMEM budget: one dest row of F (4 headings u16) + pen/legal
+    # stacks + working planes; beyond ~6 MB fall back to the XLA path
+    # (spatial tiling is the round-3 item for 1024^2 grids)
+    if _on_tpu() and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024:
         pen4 = jnp.stack(pen_m)
         legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
         return pallas_engine.build_sdir_pallas(
@@ -265,7 +268,9 @@ def select_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     """Backend dispatch for the destination-row select: the streaming
     Pallas kernel on TPU (HBM-bandwidth bound), the masked reduction
     elsewhere.  Both return the same i32 nd plane."""
-    if _on_tpu():
+    H, W = dest.shape
+    # dest + i32 accumulator + one sdir block must fit VMEM
+    if _on_tpu() and (9 * H * W) < 12 * 1024 * 1024:
         from . import pallas_engine as PE
         return PE.select_rows_pallas(sdir, dest)
     return select_dest_rows(sdir, dest)
@@ -586,10 +591,17 @@ def step_engine(cfg: Config, world, es: EngineState,
                                   cfg.VEHICLE_MAX_SPEED + 1),
                jax.random.bits(k_prio, (H, W)))
     planes_in = (pa, pb, pc, pd, pe, pl)
+    tile = (pallas_engine.pick_tile(cfg, sdir.shape[0])
+            if cfg.USE_PALLAS_ENGINE and _on_tpu() else None)
     if _use_pallas(cfg, sdir.shape[0]):
         out = pallas_engine.decide_move_pallas(
             cfg, sdir, wnd, planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, randoms)
+    elif tile is not None:
+        out = pallas_engine.decide_move_tiled(
+            cfg, sdir, wnd, planes_in, stop_map, es.rain_map, ped_bit,
+            grid.intersection, grid.dest_id, randoms,
+            th=tile[0], tw=tile[1])
     else:
         out = pallas_engine.decide_move_core(
             cfg, nbr, lambda dest: select_rows(sdir, dest), wnd,
@@ -835,7 +847,9 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     first_tab = jnp.full((HW + 1,), jnp.int32(2**30)).at[
         jnp.where(can & ~occupied, org, HW)].min(jnp.arange(S))
     place = can & ~occupied & (first_tab[org] == jnp.arange(S))
-    dropped = can & ~place
+    # a due trip fails when its origin is occupied OR the vehicle pool
+    # is exhausted (slots < 0) — both surface as errored, never silent
+    dropped = (can & ~place) | (due & (slots < 0))
     tkind = dem.kind[j].astype(jnp.int32)
 
     # service spawn targets: the neediest block right now

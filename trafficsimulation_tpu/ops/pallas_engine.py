@@ -390,6 +390,137 @@ def select_rows_pallas(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Tiled fused decide+move (grids too big for the whole-grid kernel)
+# ---------------------------------------------------------------------------
+
+# Contamination depth of one tick: each movement sub-round's outcome
+# depends on cells <= 2 away (conflict keys are shifted twice), the
+# decide phase adds <= 2 (sideswipe + start-of-tick target check):
+# 5 rounds x 2 + 2 = 12.  16 leaves margin and keeps lane alignment.
+TILE_HALO = 16
+
+
+def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
+                      ped_block, intersection, dest_id, randoms,
+                      th: int, tw: int, interpret: bool = False):
+    """Fused decide+movement over window tiles.
+
+    The whole-grid kernel needs ~120 live [H, W] i32 planes of Mosaic
+    stack — too big beyond ~128x128.  Here the grid is cut into
+    [th, tw] tiles extended by a TILE_HALO ring; each grid step runs
+    `decide_move_core` on one window (all rolls stay in VMEM) and writes
+    back only the interior.  The halo ring absorbs the window-edge
+    contamination, so results are bit-identical to the whole-grid core
+    (multi-seed equivalence in tests/test_pallas_engine.py).  Windows
+    are materialized by XLA (plain pads + static slices — vector
+    copies), trading ~35% extra HBM traffic for not hand-rolling
+    overlapping DMA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pa, pb, pc, pd, pe, pl_ = planes
+    H, W = pa.shape
+    D = sdir.shape[0]
+    P = TILE_HALO
+    nty, ntx = H // th, W // tw
+    T = nty * ntx
+    r_mal, r_side, r_reroll, r_prio = randoms
+    i32 = jnp.int32
+
+    def windows(x, fill, dtype=None):
+        xp = jnp.pad(x if dtype is None else x.astype(dtype),
+                     ((P, P), (P, P)), constant_values=fill)
+        ws = [xp[ty * th:ty * th + th + 2 * P,
+                 tx * tw:tx * tw + tw + 2 * P]
+              for ty in range(nty) for tx in range(ntx)]
+        return jnp.stack(ws)
+
+    # pad semantics: outside the grid nothing exists and movement there
+    # is blocked (present=0, stop=1, no roads/destinations)
+    w_in = (
+        jnp.stack([jnp.pad(sdir, ((0, 0), (P, P), (P, P)),
+                           constant_values=7)[
+            :, ty * th:ty * th + th + 2 * P,
+            tx * tw:tx * tw + tw + 2 * P]
+            for ty in range(nty) for tx in range(ntx)]),
+        windows(wnd, 7, i32),
+        windows(pa, 0), windows(pb, 0), windows(pc, 0),
+        windows(pd, 0), windows(pe, 0), windows(pl_, 0.0),
+        windows(stop_map, 1, i32), windows(rain_map, 0, i32),
+        windows(ped_block, 0, i32), windows(intersection, 0, i32),
+        windows(dest_id, -1),
+        windows(r_mal, 1.0), windows(r_side, 1.0),
+        windows(r_reroll, 1), windows(r_prio, 0),
+    )
+
+    def kernel(sd_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref, pe_ref,
+               pl_ref, stop_ref, rain_ref, ped_ref, int_ref, dest_ref,
+               rm_ref, rs_ref, rr_ref, rp_ref,
+               opa, opb, opc, opd, ope, opl, oflags):
+        def select(dest):
+            nd = jnp.full(dest.shape, jnp.int32(7))
+            for d in range(D):
+                nd = jnp.where(dest == d, sd_ref[0, d].astype(jnp.int32),
+                               nd)
+            return nd
+
+        out = decide_move_core(
+            cfg, _shift_roll, select, wnd_ref[0],
+            pa_ref[0], pb_ref[0], pc_ref[0], pd_ref[0], pe_ref[0],
+            pl_ref[0],
+            stop_ref[0] != 0, rain_ref[0] != 0, ped_ref[0] != 0,
+            int_ref[0] != 0, dest_ref[0],
+            rm_ref[0], rs_ref[0], rr_ref[0], rp_ref[0])
+        for o, v in zip((opa, opb, opc, opd, ope, opl, oflags), out):
+            o[0] = v[P:P + th, P:P + tw]
+
+    spec_w = lambda: pl.BlockSpec((1, th + 2 * P, tw + 2 * P),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    spec_sd = pl.BlockSpec((1, D, th + 2 * P, tw + 2 * P),
+                           lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    outs = tuple(jax.ShapeDtypeStruct((T, th, tw), dt) for dt in
+                 (jnp.uint32,) * 5 + (jnp.float32, jnp.int32))
+    res = pl.pallas_call(
+        kernel, grid=(T,),
+        in_specs=[spec_sd] + [spec_w() for _ in range(16)],
+        out_specs=tuple(spec_o for _ in range(7)),
+        out_shape=outs, interpret=interpret,
+    )(*w_in)
+
+    def assemble(t):
+        return t.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
+            H, W)
+    return tuple(assemble(t) for t in res)
+
+
+def pick_tile(cfg: Config, D: int):
+    """Largest [th, tw] tile whose window fits the Mosaic scoped-vmem
+    budget, or None.  Measured: the core's scoped stack is ~1060 bytes
+    per window cell (a 160x96 window compiles to 16.18 MB), so at
+    256x256 no tile with a useful halo ratio fits — the XLA path also
+    MEASURES faster there (13.0 vs 14.8 ms per 16-world tick; the
+    window materialization + 2x compute redundancy of small tiles eats
+    the fusion win).  The tiled kernel stays as groundwork: it becomes
+    profitable if the core's live-value count is cut ~4x."""
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    P = TILE_HALO
+    for th, tw in ((128, 128), (128, 64), (64, 64)):
+        if H % th or W % tw:
+            continue
+        win = (th + 2 * P) * (tw + 2 * P)
+        need = 1060 * win + D * win
+        # require a sane halo ratio too: redundant window compute must
+        # stay under ~60%
+        if need < 15 * 1024 * 1024 and win < 1.6 * th * tw:
+            return th, tw
+    return None
+
+
+# ---------------------------------------------------------------------------
 # Streaming sdir (static next-move byte) builder
 # ---------------------------------------------------------------------------
 

@@ -198,18 +198,24 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
 
     def seg(e, length):
         sdir = engine.routing_planes(cfg, world, e)
-        # one free-slot compaction per segment: tick i consumes its own
-        # disjoint S-slice (slots freed mid-segment are reused next
-        # segment; V has ample headroom for R*S spawns)
-        slots0 = jnp.nonzero(~e.slot_used, size=length * S,
+        # one free-slot compaction per segment: a slot cursor advances by
+        # each tick's consumed trips, so ticks share the compacted list
+        # without collisions (slots freed mid-segment are reused next
+        # segment).  Extra S of -1 padding keeps the dynamic slice from
+        # clamping at the end.
+        slots0 = jnp.nonzero(~e.slot_used, size=(length + 1) * S,
                              fill_value=-1)[0].astype(jnp.int32)
 
-        def body(e2, i):
-            sl = jax.lax.dynamic_slice_in_dim(slots0, i * S, S)
-            return engine.step_engine(cfg, world, e2, sdir=sdir,
-                                      spawn_slots=sl), None
+        def body(carry, _):
+            e2, cur = carry
+            sl = jax.lax.dynamic_slice_in_dim(slots0, cur, S)
+            e3 = engine.step_engine(cfg, world, e2, sdir=sdir,
+                                    spawn_slots=sl)
+            cur = cur + (e3.demand.cursor - e2.demand.cursor)
+            return (e3, cur), None
 
-        e, _ = jax.lax.scan(body, e, jnp.arange(length))
+        (e, _), _ = jax.lax.scan(body, (e, jnp.int32(0)), None,
+                                 length=length)
         return e
 
     q, r = divmod(n, R)
