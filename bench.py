@@ -33,7 +33,7 @@ from trafficsimulation_tpu.sim import init_world, run_chunk, \
 H = W = 256
 N_VEHICLES = 10_000
 TICKS = 100
-BATCH = 32
+BATCH = 40
 
 
 def inject_vehicles(cfg, world, n, seed=0):

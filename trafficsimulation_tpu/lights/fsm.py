@@ -272,13 +272,16 @@ def build_stop_map(grid: Grid, ls: LightStatic,
     cell and each assigned controlled road (`cell.py:241-251`)."""
     H, W = grid.cell_type.shape
     HW = H * W
-    stop = jnp.zeros((HW,), bool)
     L = ls.valid.shape[0]
+    # one fused scatter over [L + A] cells (scalar scatters price per
+    # element; merging halves the fixed per-scatter overhead)
     own = jnp.where(ls.valid, ls.pos, HW - 1)
-    stop = stop.at[own].max(ls.valid & state.light_stop)
     al = jnp.clip(ls.assign_light, 0, L - 1)
     road = jnp.where(ls.assign_valid, ls.assign_road, HW - 1)
-    stop = stop.at[road].max(ls.assign_valid & state.light_stop[al])
+    cells = jnp.concatenate([own, road])
+    vals = jnp.concatenate([ls.valid & state.light_stop,
+                            ls.assign_valid & state.light_stop[al]])
+    stop = jnp.zeros((HW,), bool).at[cells].max(vals)
     return stop.reshape(H, W)
 
 

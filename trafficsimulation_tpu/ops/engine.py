@@ -845,9 +845,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     org = jnp.clip(dem.origin[j], 0, HW - 1)
     occupied = (paf[org] & 1) == 1
     # two same-tick spawns at one entrance: lowest batch index wins
-    first_tab = jnp.full((HW + 1,), jnp.int32(2**30)).at[
-        jnp.where(can & ~occupied, org, HW)].min(jnp.arange(S))
-    place = can & ~occupied & (first_tab[org] == jnp.arange(S))
+    # (an [S, S] compare beats a [HW]-sized scatter table at S = 64)
+    sidx = jnp.arange(S)
+    earlier_same = (org[None, :] == org[:, None]) \
+        & (sidx[None, :] < sidx[:, None]) \
+        & (can & ~occupied)[None, :]
+    place = can & ~occupied & ~jnp.any(earlier_same, axis=1)
     # a due trip fails when its origin is occupied OR the vehicle pool
     # is exhausted (slots < 0) — both surface as errored, never silent
     dropped = (can & ~place) | (due & (slots < 0))

@@ -432,8 +432,14 @@ class TrafficSim:
 # ---------------------------------------------------------------------------
 
 def _pow2(n: int, lo: int = 8) -> int:
+    """Round a measured size up to a friendly padded capacity: the next
+    power of two below 512, else the next multiple of 512 (pow2 rounding
+    wastes up to 2x on big tables, and scalar scatter/gather cost scales
+    with the PADDED size)."""
     n = max(int(n), lo)
-    return 1 << (n - 1).bit_length()
+    if n <= 256:
+        return 1 << (n - 1).bit_length()
+    return ((n + 255) // 256) * 256
 
 
 def measure_and_shrink(cfg: Config, world: World):
