@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Stage-cost profiler for the plane-CA tick (engineering tool).
 
-Times `run_chunk` variants with individual stages stubbed out (the only
-reliable way to attribute time on this backend: per-executable-call
-overhead is ~28 ms, so every measurement is one scan of TICKS ticks).
+Times `run_chunk` with individual stages replaced by CHEAP,
+DEPENDENCE-PRESERVING stubs.  Constant stubs are useless here: XLA
+folds everything downstream of a constant and the apparent saving
+includes the folded consumers (see NOTES.md "measurement pitfalls").
+Every stub below keeps a data dependence on the stage's inputs so only
+the stage's own cost disappears.
 
-Usage: python tools/profile_stages.py [TICKS]
+Usage: python tools/profile_stages.py [BATCH] [TICKS]
+  BATCH=1 profiles the single-world tick, >1 the vmapped batch.
 """
 
 import functools
@@ -32,11 +36,11 @@ from trafficsimulation_tpu.sim import init_world, run_chunk, \
 
 H = W = 256
 N_VEHICLES = 10_000
-TICKS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+TICKS = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
 
-def build_world():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+def build_worlds():
     import bench
     cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=N_VEHICLES,
                  MAX_FIELD_DESTS=64)
@@ -44,126 +48,106 @@ def build_world():
         jax.random.PRNGKey(0))
     cfg, world = measure_and_shrink(cfg, world)
     world = bench.inject_vehicles(cfg, world, N_VEHICLES)
-    return cfg, jax.block_until_ready(world)
+    world = jax.block_until_ready(world)
+    if BATCH > 1:
+        world = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), world)
+    return cfg, world
 
 
-def timeit(cfg, world, label):
-    chunk = jax.jit(functools.partial(run_chunk, cfg, n=TICKS))
-    w = jax.block_until_ready(chunk(world))
+def timeit(cfg, worlds, label):
+    if BATCH > 1:
+        f = jax.jit(lambda ws: jax.vmap(
+            functools.partial(run_chunk, cfg, n=TICKS))(ws))
+    else:
+        f = jax.jit(functools.partial(run_chunk, cfg, n=TICKS))
+    w = jax.block_until_ready(f(worlds))
     t0 = time.perf_counter()
-    w = jax.block_until_ready(chunk(w))
+    jax.block_until_ready(f(w))
     dt = time.perf_counter() - t0
     ms = dt / TICKS * 1000
-    print(f"{label:34s} {ms:8.3f} ms/tick  ({TICKS/dt:8.1f} steps/s)")
+    cups = BATCH * H * W * TICKS / dt
+    print(f"{label:46s} {ms:8.3f} ms/tick-of-{BATCH}"
+          f"  ({cups/1e6:8.1f}M cups)", flush=True)
     return ms
 
 
 def main():
-    cfg, world = build_world()
-    base = timeit(cfg, world, "full tick")
-    timeit(cfg.replace(USE_PALLAS_ENGINE=False), world,
-           "  - pallas kernel off (XLA core)")
+    cfg, worlds = build_worlds()
+    base = timeit(cfg, worlds, "full tick")
 
-    # ---- decide+movement removed entirely ---------------------------------
-    orig_core = engine.pallas_engine.decide_move_core
-    orig_pk = engine.pallas_engine.decide_move_pallas
+    orig_sel = engine.select_rows
+    engine.select_rows = lambda sdir, dest: (sdir[0].astype(jnp.int32)
+                                             | (dest & 0))
+    timeit(cfg, worlds, "  select -> cheap (dep-kept)")
+    engine.select_rows = orig_sel
 
-    def fake_core(cfg_, shift, select, pa, pb, pc, pd, pe, pl, *rest):
-        return (pa, pb, pc, pd, pe, pl,
-                jnp.zeros(pa.shape, jnp.uint8))
-
-    engine.pallas_engine.decide_move_core = fake_core
-    engine.pallas_engine.decide_move_pallas = \
-        lambda cfg_, sdir, planes, *rest, **kw: planes + (
-            jnp.zeros(planes[0].shape, jnp.uint8),)
-    no_dm = timeit(cfg, world, "  - decide+movement removed")
-    engine.pallas_engine.decide_move_core = orig_core
-    engine.pallas_engine.decide_move_pallas = orig_pk
-
-    # ---- stub build_sdir: constant plane --------------------------------
-    orig_build = engine.build_sdir
-    D = world.cost_field.shape[0]
-    const_sdir = jnp.full((D, H, W), jnp.uint16(engine.ND_NONE))
-    engine.build_sdir = lambda *a, **k: const_sdir
-    no_sdir = timeit(cfg, world, "  - build_sdir stubbed")
-    engine.build_sdir = orig_build
-
-    # ---- stub select_dest_rows ------------------------------------------
-    orig_sel = engine.select_dest_rows
-    engine.select_dest_rows = lambda sdir, dest: jnp.full(
-        dest.shape, jnp.uint16(engine.ND_NONE))
-    no_sel = timeit(cfg, world, "  - select_dest_rows stubbed")
-    engine.select_dest_rows = orig_sel
-
-    # ---- skip movement subrounds ----------------------------------------
-    orig_fori = jax.lax.fori_loop
-
-    def fake_fori(lo, hi, body, init):
-        if hi is cfg.VEHICLE_MAX_SPEED or hi == cfg.VEHICLE_MAX_SPEED:
-            return init
-        return orig_fori(lo, hi, body, init)
-
-    jax.lax.fori_loop = fake_fori
-    no_move = timeit(cfg, world, "  - movement subrounds skipped")
-    jax.lax.fori_loop = orig_fori
-
-    # ---- stub lights ------------------------------------------------------
     orig_red = fsm.group_reductions
-    orig_run = fsm.run_controllers
-    orig_exec = fsm.execute_phase_change
-    orig_stop = fsm.build_stop_map
-    G = cfg.capacities().max_groups
-    fsm.group_reductions = lambda grid, occ, mg, gs=None: jnp.zeros(
-        (5, mg), jnp.int32)
-    fsm.run_controllers = \
-        lambda cfg_, grid, gs, lights, occ, **k: lights
-    fsm.execute_phase_change = lambda cfg_, ls, gs, lights, occ5: lights
-    fsm.build_stop_map = lambda grid, ls, lights: jnp.zeros((H, W), bool)
-    no_lights = timeit(cfg, world, "  - lights stubbed")
+
+    def cheap_red(grid, occ, mg, gs=None):
+        s = occ.astype(jnp.int32).sum()
+        q = jnp.zeros((mg, 5), jnp.int32).at[0, 0].add(s)
+        return (q[:, 0], q[:, 1], q[:, 2], q[:, 3], q[:, 4] > 0)
+
+    fsm.group_reductions = cheap_red
+    timeit(cfg, worlds, "  group_reductions -> cheap (dep-kept)")
     fsm.group_reductions = orig_red
-    fsm.run_controllers = orig_run
-    fsm.execute_phase_change = orig_exec
+
+    orig_stop = fsm.build_stop_map
+
+    def cheap_stop(grid, ls, state):
+        H2, W2 = grid.cell_type.shape
+        return jnp.zeros((H2, W2), bool) | state.light_stop.any()
+
+    fsm.build_stop_map = cheap_stop
+    timeit(cfg, worlds, "  build_stop_map -> cheap (dep-kept)")
     fsm.build_stop_map = orig_stop
 
-    # ---- stub density ------------------------------------------------------
-    orig_dm = engine.density_map
-    engine.density_map = lambda occ, rd, r: jnp.zeros((H, W), jnp.float32)
-    no_density = timeit(cfg, world, "  - density stubbed")
-    engine.density_map = orig_dm
+    timeit(cfg.replace(VEHICLE_MAX_SPEED=1), worlds,
+           "  MAX_SPEED=1 (1 movement subround)")
 
-    # ---- stub _post_move (arrivals/service/spawns/rain/blocks) -----------
     orig_post = engine._post_move
 
-    def fake_post(cfg_, world_, es, planes, lights, stop_map, density,
-                  peds, ped_map, tick, elapsed, key, k_rain, rl_state,
-                  events):
+    def cheap_post(cfg_, world_, es, planes, lights, stop_map, density,
+                   peds, ped_map, tick, elapsed, key, k_rain, rl_state,
+                   events, **kw):
         pa, pb, pc, pd, pe, pl = planes
+        m = es.metrics
+        m = m.replace(completed_internal=m.completed_internal + events[0])
         return es.replace(pa=pa, pb=pb, pc=pc, pd=pd, pe=pe, pl=pl,
-                          stop_map=stop_map, density=density,
-                          lights=lights, peds=peds, ped_map=ped_map,
+                          stop_map=stop_map, density=density, metrics=m,
                           tick=tick + 1, elapsed=elapsed, key=key,
                           rl=rl_state)
 
-    engine._post_move = fake_post
-    no_post = timeit(cfg, world, "  - post_move stubbed")
+    engine._post_move = cheap_post
+    timeit(cfg, worlds, "  post_move -> cheap (dep-kept)")
     engine._post_move = orig_post
 
-    # ---- floor: empty tick -------------------------------------------------
-    orig_step = engine.step_engine
-    engine.step_engine = lambda cfg_, world_, es, sdir=None: es.replace(
-        tick=es.tick + 1)
-    floor = timeit(cfg, world, "  - EMPTY tick (scan floor)")
-    engine.step_engine = orig_step
+    orig_build = engine.build_sdir
 
-    print()
-    print(f"{'build_sdir':26s} ~{base - no_sdir:7.3f} ms")
-    print(f"{'select_dest_rows (x6)':26s} ~{base - no_sel:7.3f} ms")
-    print(f"{'movement subrounds':26s} ~{base - no_move:7.3f} ms")
-    print(f"{'lights':26s} ~{base - no_lights:7.3f} ms")
-    print(f"{'density':26s} ~{base - no_density:7.3f} ms")
-    print(f"{'post_move':26s} ~{base - no_post:7.3f} ms")
-    print(f"{'decide+movement (all)':26s} ~{base - no_dm:7.3f} ms")
-    print(f"{'scan floor':26s} ~{floor:7.3f} ms")
+    def cheap_build(cfg_, F_u16, allowed, is_road, enter2, hard):
+        base_ = (F_u16[:, 0] & 0).astype(jnp.uint8)
+        v = ((enter2.sum() + hard.astype(jnp.int32).sum()) & 0).astype(
+            jnp.uint8)
+        return base_ | v | jnp.uint8(engine.ND_NONE)
+
+    engine.build_sdir = cheap_build
+    timeit(cfg, worlds, "  build_sdir -> cheap (dep-kept)")
+    engine.build_sdir = orig_build
+
+    orig_wf = engine.build_wavefront
+
+    def cheap_wf(cfg_, allowed, is_road, enter2, hard):
+        v = ((enter2.sum() + hard.astype(jnp.int32).sum()) & 0).astype(
+            jnp.uint8)
+        return jnp.full(allowed.shape, jnp.uint8(7)) | v
+
+    engine.build_wavefront = cheap_wf
+    timeit(cfg, worlds, "  build_wavefront -> cheap (dep-kept)")
+    engine.build_wavefront = orig_wf
+
+    print(f"\nbaseline {base:.3f} ms/tick-of-{BATCH}; deltas above are "
+          "each stage's honest cost")
 
 
 if __name__ == "__main__":

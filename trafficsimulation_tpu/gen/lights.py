@@ -196,9 +196,12 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
 
     for d in range(4):
         has_d = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
-        alive = has_d
-        py, px = rc_y, rc_x
-        for _k in range(R):
+
+        # fori_loop over the ray depth: the body (vector ops over [A] +
+        # 3 scatters) compiles once instead of R times — generation
+        # compile time is dominated by unrolled scatter HLOs
+        def bscan_body(_k, st, d=d):
+            queue_group, queue_bucket, light_of_cell, alive, py, px = st
             py = py - C.DIR_DY[d]
             px = px - C.DIR_DX[d]
             inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
@@ -223,6 +226,13 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
                 jnp.where(put, bucket.astype(jnp.int8), queue_bucket[tgt]))
             light_of_cell = light_of_cell.at[tgt].set(
                 jnp.where(put, a_light, light_of_cell[tgt]))
+            return (queue_group, queue_bucket, light_of_cell, alive,
+                    py, px)
+
+        queue_group, queue_bucket, light_of_cell, _, _, _ = \
+            jax.lax.fori_loop(0, R, bscan_body,
+                              (queue_group, queue_bucket, light_of_cell,
+                               has_d, rc_y, rc_x))
 
     # ---- 6b. optional forward scan (`_scan_for_traffic_flow_forward`
     # `city_model.py:1550-1584`): walk forward along the road's
@@ -239,10 +249,10 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
         mode = cfg.FORWARD_TRAFFIC_LIGHT_INTERSECTIONS
         for d in range(4):
             has_d = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
-            alive = has_d
-            depth = jnp.zeros_like(a_road)
-            py, px = rc_y, rc_x
-            for _k in range(2 * R):
+
+            def fscan_body(_k, st, d=d, mode=mode):
+                (queue_group, queue_bucket, light_of_cell, alive, depth,
+                 py, px) = st
                 py = py + C.DIR_DY[d]
                 px = px + C.DIR_DX[d]
                 inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
@@ -278,6 +288,14 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
                     jnp.where(label_road, 1, 0))
                 depth = depth + jnp.where(alive & inb, consumed, 0)
                 alive = alive & inb & (is_int | same) & in_range
+                return (queue_group, queue_bucket, light_of_cell, alive,
+                        depth, py, px)
+
+            queue_group, queue_bucket, light_of_cell, _, _, _, _ = \
+                jax.lax.fori_loop(
+                    0, 2 * R, fscan_body,
+                    (queue_group, queue_bucket, light_of_cell, has_d,
+                     jnp.zeros_like(a_road), rc_y, rc_x))
         del mode
 
     # ---- 6c. intersection cells get bucket-4 labels so the per-tick
