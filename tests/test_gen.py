@@ -188,3 +188,24 @@ def test_vmap_generation(small_cfg, gen_fn):
     assert grids.shape[0] == 3
     single = gen_fn(keys[1])[0].cell_type
     assert (np.asarray(grids[1]) == np.asarray(single)).all()
+
+
+def test_highway_labels(small_city):
+    """Decorative highway I/O labels match the reference's format
+    (`cell.py:79-152`): Orientation_Group_Cardinal_Type_Pair, numbered
+    in reading order, pair index unique per (edge, type)."""
+    import re
+    from trafficsimulation_tpu import utils
+    grid = small_city[0]
+    cell = np.asarray(grid.cell_type)
+    H, W = cell.shape
+    pat = re.compile(r"^(Horizontal|Vertical)_\d+_"
+                     r"(North|South|East|West)_(Entrance|Exit)_\d+$")
+    seen = set()
+    cells = np.argwhere(np.isin(cell, [C.HIGHWAY_ENTRANCE, C.HIGHWAY_EXIT]))
+    assert len(cells) > 0
+    for (y, x) in cells:
+        lab = utils.highway_label(grid, int(y) * W + int(x))
+        assert pat.match(lab), lab
+        assert lab not in seen, f"duplicate label {lab}"
+        seen.add(lab)

@@ -35,9 +35,10 @@ def run_group(cfg: Config, n_worlds: int, ticks: int, seed: int,
         mesh = make_mesh(n_dev)
     worlds = init_world_batch(cfg, jax.random.PRNGKey(seed), n_worlds, mesh)
     worlds = jax.block_until_ready(worlds)
+    roll = jax.jit(functools.partial(run_batch, cfg, n_ticks=ticks))
+    worlds = jax.block_until_ready(roll(worlds))   # compile + warm
     t0 = time.perf_counter()
-    worlds = jax.block_until_ready(
-        jax.jit(functools.partial(run_batch, cfg, n_ticks=ticks))(worlds))
+    worlds = jax.block_until_ready(roll(worlds))
     dt = time.perf_counter() - t0
     fm = {k: int(v) for k, v in fleet_metrics(worlds).items()}
     fm["wall_s"] = round(dt, 2)

@@ -207,6 +207,23 @@ def make_app(bridge: BridgeState):
         def get(self):
             _json(self, sim.stats())
 
+    class HighwaysHandler(tornado.web.RequestHandler):
+        """Highway I/O inventory with the reference's decorative labels
+        (`cell.py:79-152`): flat cell -> "Horizontal_1_South_Entrance_2"
+        style names."""
+
+        def get(self):
+            from .. import utils, codes as Cc
+            grid = sim.world.grid
+            cell = np.asarray(grid.cell_type)
+            Wd = cell.shape[1]
+            out = {}
+            for (y, x) in np.argwhere(np.isin(
+                    cell, [Cc.HIGHWAY_ENTRANCE, Cc.HIGHWAY_EXIT])):
+                flat = int(y) * Wd + int(x)
+                out[flat] = utils.highway_label(grid, flat)
+            _json(self, out)
+
     class ParamsHandler(tornado.web.RequestHandler):
         """Parameter panel parity (`model_parameters.py:67-189`): GET
         lists the generation parameters, POST /reset rebuilds the model
@@ -271,6 +288,7 @@ def make_app(bridge: BridgeState):
         (r"/reset", ResetHandler),
         (r"/state", StateHandler),
         (r"/metrics", MetricsHandler),
+        (r"/highways", HighwaysHandler),
         (r"/frame.png", FrameHandler),
     ])
 

@@ -52,3 +52,76 @@ def str_to_unique_int(s: str) -> int:
     """Stable integer id from a string (reference `general.py:12-14`)."""
     import hashlib
     return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def highway_label(grid, flat: int) -> str:
+    """Decorative name for a HighwayEntrance/Exit cell, matching the
+    reference's format "{Orientation}_{GroupIdx}_{Cardinal}_{Type}_
+    {PairIdx}" (`cell.py:79-152`).
+
+    Highways are grouped as contiguous boundary runs of highway cells
+    (the array form of the reference's shared `highway_id`), numbered in
+    reading order (horizontal: south->north then west->east; vertical:
+    west->east then south->north); the pair index counts
+    entrances-or-exits of the same type along the same edge."""
+    cell = np.asarray(grid.cell_type)
+    H, W = cell.shape
+    y, x = flat // W, flat % W
+    t = int(cell[y, x])
+    if t not in (C.HIGHWAY_ENTRANCE, C.HIGHWAY_EXIT):
+        raise ValueError(f"cell {flat} is not a highway entrance/exit")
+    typ = "Entrance" if t == C.HIGHWAY_ENTRANCE else "Exit"
+
+    if y == 0:
+        cardinal = "South"
+    elif y == H - 1:
+        cardinal = "North"
+    elif x == 0:
+        cardinal = "West"
+    elif x == W - 1:
+        cardinal = "East"
+    else:
+        cardinal = "Center"
+    horizontal = cardinal in ("South", "North")
+    orientation = "Horizontal" if horizontal else "Vertical"
+
+    hw = np.isin(cell, [C.HIGHWAY_ENTRANCE, C.HIGHWAY_EXIT])
+
+    def edge_runs(fixed_edge_coord, along_vertical_edge):
+        """Contiguous highway runs along one boundary edge as
+        (start, end) index pairs."""
+        line = (hw[:, fixed_edge_coord] if along_vertical_edge
+                else hw[fixed_edge_coord, :])
+        runs, s = [], None
+        for i, v in enumerate(line.tolist() + [False]):
+            if v and s is None:
+                s = i
+            elif not v and s is not None:
+                runs.append((s, i - 1))
+                s = None
+        return runs
+
+    # every highway band of this orientation, in reading order
+    groups = []          # (sort_key, edge, lo, hi)
+    if horizontal:
+        for ey in (0, H - 1):
+            for lo, hi in edge_runs(ey, False):
+                groups.append(((ey, lo), ey, lo, hi))
+    else:
+        for ex in (0, W - 1):
+            for lo, hi in edge_runs(ex, True):
+                groups.append(((ex, lo), ex, lo, hi))
+    groups.sort(key=lambda g: g[0])
+    my_pos = x if horizontal else y
+    my_edge = y if horizontal else x
+    group_idx = next(i + 1 for i, (_, e, lo, hi) in enumerate(groups)
+                     if e == my_edge and lo <= my_pos <= hi)
+
+    # pair index among same-type cells on the same edge
+    if horizontal:
+        coll = [xx for xx in range(W) if cell[y, xx] == t]
+        pair_idx = coll.index(x) + 1
+    else:
+        coll = [yy for yy in range(H) if cell[yy, x] == t]
+        pair_idx = coll.index(y) + 1
+    return f"{orientation}_{group_idx}_{cardinal}_{typ}_{pair_idx}"
