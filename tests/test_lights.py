@@ -342,3 +342,20 @@ def test_overrides():
     state = fsm.apply_light_overrides(state, jnp.array([0, -1], jnp.int8))
     assert not bool(state.light_stop[0])
     assert bool(state.light_stop[1])
+
+
+def test_run_reduction_equals_plane_reduction(small_cfg, small_city):
+    """The axis-aligned run decomposition (gen/lights.py 6d) + prefix
+    sums compute EXACTLY the per-group queue/clearance counts of the
+    full-plane segment-sum, for random occupancies."""
+    import jax
+    grid, _, gs, _, _, _ = small_city
+    G = small_cfg.capacities().max_groups
+    key = jax.random.PRNGKey(11)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        occ = jax.random.bernoulli(k, 0.35, grid.cell_type.shape)
+        a = fsm.group_reductions(grid, occ, G, gs=gs)
+        b = fsm.group_reductions(grid, occ, G, gs=None)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))

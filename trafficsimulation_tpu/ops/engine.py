@@ -449,7 +449,10 @@ class EngineState:
     lights: Any
     blocks: Any
     rain: Any
-    demand: Any
+    # demand TABLES are read-only inside a chunk and ride in the closed-
+    # over World (scan-invariant, not copied through the carry); only the
+    # consumption cursor is dynamic state
+    dem_cursor: Any
     metrics: Any
     overrides: Any
     peds: Any
@@ -825,10 +828,11 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     # ---- demand spawning (trip table pre-generated; see agents/demand) ----
     key, k_spawn = jax.random.split(key)
     del k_spawn  # spawn targets are deterministic given the table
-    dem = es.demand
+    dem = world.demand          # static tables (scan-invariant)
+    cursor = es.dem_cursor
     S = caps.max_spawns_per_tick
     T = dem.depart_tick.shape[0]
-    idxs = dem.cursor + jnp.arange(S)
+    idxs = cursor + jnp.arange(S)
     j = jnp.clip(idxs, 0, T - 1)
     due = (idxs < T) & dem.valid[j] & (dem.depart_tick[j] <= tick + 1)
     due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
@@ -893,7 +897,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pe = pstack[:, 4].reshape(H, W)
     pl = jax.lax.bitcast_convert_type(pstack[:, 5], jnp.float32).reshape(
         H, W)
-    dem = dem.replace(cursor=dem.cursor + jnp.sum(due))
+    cursor = cursor + jnp.sum(due)
     m = m.replace(
         created_internal=m.created_internal + jnp.sum(
             can & (tkind == KIND_INTERNAL)),
@@ -933,7 +937,8 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         slot_used=slot_used,
         stop_map=stop_map, rain_map=rain_map, density=density,
         ped_map=ped_map,
-        lights=lights, blocks=bst, rain=rain, demand=dem, metrics=m,
+        lights=lights, blocks=bst, rain=rain, dem_cursor=cursor,
+        metrics=m,
         overrides=Overrides(
             light_force=jnp.full_like(es.overrides.light_force, -1),
             spawn_rain=jnp.bool_(False)),

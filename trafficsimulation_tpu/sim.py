@@ -154,7 +154,7 @@ def _enter_engine(cfg: Config, world: World):
         stop_map=world.stop_map, rain_map=world.rain_map,
         density=world.density, ped_map=world.ped_map,
         lights=world.lights, blocks=world.blocks, rain=world.rain,
-        demand=world.demand, metrics=world.metrics,
+        dem_cursor=world.demand.cursor, metrics=world.metrics,
         overrides=world.overrides, peds=world.peds,
         tick=world.tick, elapsed=world.elapsed, key=world.key, rl=world.rl)
 
@@ -170,7 +170,8 @@ def _exit_engine(cfg: Config, world: World, es) -> World:
         stop_map=es.stop_map, rain_map=es.rain_map, density=es.density,
         ped_map=es.ped_map, peds=es.peds,
         lights=es.lights, blocks=es.blocks, rain=es.rain,
-        demand=es.demand, metrics=es.metrics, overrides=es.overrides,
+        demand=world.demand.replace(cursor=es.dem_cursor),
+        metrics=es.metrics, overrides=es.overrides,
         tick=es.tick, elapsed=es.elapsed, key=es.key, rl=es.rl)
 
 
@@ -211,7 +212,7 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
             sl = jax.lax.dynamic_slice_in_dim(slots0, cur, S)
             e3 = engine.step_engine(cfg, world, e2, sdir=sdir,
                                     spawn_slots=sl)
-            cur = cur + (e3.demand.cursor - e2.demand.cursor)
+            cur = cur + (e3.dem_cursor - e2.dem_cursor)
             return (e3, cur), None
 
         (e, _), _ = jax.lax.scan(body, (e, jnp.int32(0)), None,
