@@ -139,6 +139,10 @@ class Vehicles:
     in_collision: jnp.ndarray   # bool [V]
     in_malfunction: jnp.ndarray # bool [V]
     contraflow_ticks: jnp.ndarray  # i32 [V] remaining contraflow allowance
+    detour: jnp.ndarray         # bool [V] contraflow excursion is a stuck
+                                # detour (vs overtake) — the reference's
+                                # `in_stuck_detour` gauge
+                                # (`dynamic_traffic_generator.py:131`)
     kind: jnp.ndarray           # u8 [V] 0 internal,1 through,2 food,3 waste
     depart_time: jnp.ndarray    # f32 [V] sim seconds
     steps_traveled: jnp.ndarray # i32 [V]

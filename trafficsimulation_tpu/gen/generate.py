@@ -6,8 +6,10 @@ file:line mapping.  The whole function jits and vmaps over PRNG keys, so
 thousands of city variants generate in parallel on-device
 (BASELINE config #4).
 
-Stage not yet ported: `_carve_subblock_roads` (`city_model.py:563-737`,
-default-off in the reference config).
+All 14 stages are implemented, including the optional sub-block L-road
+carving (`gen/subblocks.py`, reference `_carve_subblock_roads`
+`city_model.py:563-737`; wired below, seed-variation tested in
+tests/test_gen.py).
 """
 
 from __future__ import annotations

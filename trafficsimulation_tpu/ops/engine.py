@@ -338,7 +338,8 @@ def vehicles_to_planes(cfg: Config, v: Vehicles, H: int, W: int):
                    SVC_BLOCK_NONE)
     pd_v = (_u32(v.service_phase)
             | (_u32(jnp.clip(v.service_timer, 0, 255)) << PD_TIMER_SH)
-            | (_u32(sb) << PD_BLOCK_SH))
+            | (_u32(sb) << PD_BLOCK_SH)
+            | (_u32(v.detour) << PD_CFMODE_SH))
     pe_v = _u32(jnp.arange(V))
 
     def scat(vals, dtype):
@@ -393,6 +394,7 @@ def planes_to_vehicles(cfg: Config, planes, V: int):
         in_collision=put(_bit(paf, PA_COL_SH), zb),
         in_malfunction=put(_bit(paf, PA_MAL_SH), zb),
         contraflow_ticks=put(_fld(pb.reshape(-1), PB_CONTRA_SH, 8), zi),
+        detour=put(_bit(pd.reshape(-1), PD_CFMODE_SH), zb),
         kind=put(_fld(paf, PA_KIND_SH, 2), jnp.zeros((V + 1,), jnp.uint8)),
         depart_time=put(_fld(pc.reshape(-1), PC_DEPART_SH, 20).astype(
             jnp.float32) * dt, zf),

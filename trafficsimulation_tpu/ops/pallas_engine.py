@@ -95,10 +95,17 @@ def _resolve(nd, head1, allow=None, wnd=None):
 def decide_move_core(cfg: Config, shift, select, wnd,
                      pa, pb, pc, pd, pe, pl,
                      stop_map, rain_map, ped_block, intersection, dest_id,
-                     r_mal, r_side, r_reroll, r_prio):
+                     r_mal, r_side, r_reroll, r_prio,
+                     unroll: bool = True):
     """See module docstring.  All mask inputs are bool [H, W]; r_mal /
     r_side are uniform [0,1) f32, r_reroll is randint
     [VEHICLE_MIN_SPEED, VEHICLE_MAX_SPEED], r_prio is u32 random bits.
+
+    `unroll`: emit the K movement sub-rounds as straight-line code (the
+    XLA path — thin where-chains fuse best unrolled, NOTES.md) or as a
+    `lax.fori_loop` (the Pallas path — a rolled loop keeps Mosaic's
+    scoped-vmem live set to ONE sub-round's planes instead of five,
+    which is what lets the fused kernel fit VMEM at 256x256).
 
     Returns (pa, pb, pc, pd, pe, pl, flags u8) — flags bits:
     1 new malfunction, 2 new collision, 4 moved this tick."""
@@ -219,9 +226,10 @@ def decide_move_core(cfg: Config, shift, select, wnd,
     prio = (r_prio >> 4).astype(jnp.int32) & jnp.int32(0x0FFFFFF8)
     steps_left = jnp.where(present, speed, 0).astype(jnp.int32)
     moved = jnp.zeros((H, W), jnp.int32)   # 0/1; i32 so Mosaic selects it
-    halt_latch = halted
+    halt_latch = halted.astype(jnp.int32)  # i32 carry: Mosaic-clean
 
-    for _s in range(cfg.VEHICLE_MAX_SPEED):
+    def subround(state):
+        pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = state
         present_c = (pa & 1) == 1
         dest_c = _fld(pa, PA_DEST_SH, 14)
         nd = select(dest_c)
@@ -234,7 +242,7 @@ def decide_move_core(cfg: Config, shift, select, wnd,
         allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
         dir_, contra = _resolve(nd, h1, allow, wnd)
         can_dir = (dir_ < 7) & (~contra | allow)
-        want = present_c & ~halt_latch & (steps_left > 0) & ~at_dest_c
+        want = present_c & (halt_latch == 0) & (steps_left > 0) & ~at_dest_c
 
         bb = (stop_map.astype(jnp.int32)
               | (present_c.astype(jnp.int32) << 1)
@@ -296,7 +304,17 @@ def decide_move_core(cfg: Config, shift, select, wnd,
                                 lambda P, m: P - 1)
         moved = move_plane(moved, jnp.int32(0),
                            lambda P, m: jnp.ones_like(P))
-        halt_latch = halt_latch | (want & ~won)
+        halt_latch = halt_latch | (want & ~won).astype(jnp.int32)
+        return (pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch)
+
+    state = (pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch)
+    if unroll:
+        for _s in range(cfg.VEHICLE_MAX_SPEED):
+            state = subround(state)
+    else:
+        state = jax.lax.fori_loop(0, cfg.VEHICLE_MAX_SPEED,
+                                  lambda _i, s: subround(s), state)
+    pa, pb, pc, pd, pe, pl, steps_left, moved, halt_latch = state
 
     moved = moved != 0
     present = (pa & 1) == 1
@@ -470,7 +488,8 @@ def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
             pl_ref[0],
             stop_ref[0] != 0, rain_ref[0] != 0, ped_ref[0] != 0,
             int_ref[0] != 0, dest_ref[0],
-            rm_ref[0], rs_ref[0], rr_ref[0], rp_ref[0])
+            rm_ref[0], rs_ref[0], rr_ref[0], rp_ref[0],
+            unroll=False)
         for o, v in zip((opa, opb, opc, opd, ope, opl, oflags), out):
             o[0] = v[P:P + th, P:P + tw]
 
@@ -643,7 +662,8 @@ def _kernel(cfg, D, sdir_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref,
         pa_ref[:], pb_ref[:], pc_ref[:], pd_ref[:], pe_ref[:], pl_ref[:],
         stop_ref[:] != 0, rain_ref[:] != 0, ped_ref[:] != 0,
         inter_ref[:] != 0, dest_ref[:],
-        rmal_ref[:], rside_ref[:], rrer_ref[:], rprio_ref[:])
+        rmal_ref[:], rside_ref[:], rrer_ref[:], rprio_ref[:],
+        unroll=False)
     pa, pb, pc, pd, pe, pl, flags = out
     opa[:] = pa
     opb[:] = pb
@@ -656,14 +676,17 @@ def _kernel(cfg, D, sdir_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref,
 
 def vmem_fits(cfg: Config, D: int) -> bool:
     """Whole-grid kernel viability: sdir + planes + Mosaic's scoped
-    stack must fit in VMEM.  The kernel's live set across the K movement
-    sub-rounds measures ~120 [H, W] i32 planes of temporaries (a 256x256
-    D=64 compile reports 35.6 MB of scoped vmem), so only smaller grids
-    qualify; the XLA path is within ~7% anyway at 256x256."""
+    stack must fit in physical VMEM (v5e: 128 MB; the conservative
+    16 MB scoped default is raised via CompilerParams.vmem_limit_bytes).
+    With the movement sub-rounds ROLLED into a fori_loop the scoped
+    stack measures 17.3 MB at 256x256 D=64 (~66 live planes — the
+    unrolled form was 35.6 MB), and the fused kernel beats the XLA path
+    by ~36% under a 16-world vmap (1.67 vs 2.59 ms-of-16, bench notes).
+    Budget: sdir (D planes u8) + ~96 i32 planes of stack + io."""
     H, W = cfg.HEIGHT, cfg.WIDTH
     hw = H * W
-    need = D * hw * 1 + 130 * hw * 4
-    return need < 11 * 1024 * 1024
+    need = D * hw * 1 + 96 * hw * 4
+    return need < 100 * 1024 * 1024
 
 
 def decide_move_pallas(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
@@ -690,12 +713,19 @@ def decide_move_pallas(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
     )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_in = 17
+    kw = {}
+    if not interpret:
+        # the rolled-movement kernel's scoped stack measures ~17 MB at
+        # 256x256; raise the conservative 16 MB default (v5e has 128 MB
+        # of physical VMEM — the inputs/outputs + stack stay well under)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_kernel, cfg, D),
         out_shape=outs,
         in_specs=[spec] * n_in,
         out_specs=(spec,) * 7,
-        interpret=interpret,
+        interpret=interpret, **kw,
     )(sdir, i32(wnd), pa, pb, pc, pd, pe, pl_,
       i32(stop_map), i32(rain_map), i32(ped_block), i32(intersection),
       dest_id, r_mal, r_side, r_reroll, r_prio)

@@ -84,6 +84,13 @@ class GATTrain:
     filled: jnp.ndarray
     epsilon: jnp.ndarray   # f32 [G]
     train_steps: jnp.ndarray
+    # pending (s, a) awaiting its next-state: the reference completes a
+    # transition at the controller's NEXT invocation, when the post-
+    # action occupancy is observable (`rl_gatdqn.py:217-241`)
+    pend_s: jnp.ndarray    # [G, 5, 9]
+    pend_m: jnp.ndarray    # [G, 5]
+    pend_a: jnp.ndarray    # [G]
+    pend_valid: jnp.ndarray  # [G] bool
 
 
 def _optimizer(lr):
@@ -128,7 +135,10 @@ def init_rl_state(cfg: Config, num_groups: int, key) -> Optional[Any]:
             buf_ns=jnp.zeros((cap, 5, 9)), buf_nm=jnp.zeros((cap, 5)),
             cursor=jnp.int32(0), filled=jnp.int32(0),
             epsilon=jnp.full((G,), cfg.EPS_INITIAL),
-            train_steps=jnp.int32(0))
+            train_steps=jnp.int32(0),
+            pend_s=jnp.zeros((G, 5, 9)), pend_m=jnp.zeros((G, 5)),
+            pend_a=jnp.zeros((G,), jnp.int32),
+            pend_valid=jnp.zeros((G,), bool))
     return None
 
 
@@ -307,6 +317,28 @@ def gat_step(cfg: Config, ts: GATTrain, grid, gs, lights, occupancy,
     k_eps, k_rand, k_samp = jax.random.split(key, 3)
 
     feats, mask = features.gat_state(cfg, grid, gs, lights, occupancy)
+
+    # complete LAST tick's pending (s, a) with the now-observable
+    # post-action state and reward — the reference stores the transition
+    # at the controller's next invocation (`rl_gatdqn.py:217-241`); the
+    # same-tick next-state it would otherwise see is degenerate (only
+    # timer features change before traffic moves)
+    ln, le = features.group_flows(grid, occupancy, G)
+    reward = -(ln + le + trip_penalty)
+    put = ts.pend_valid & gs.valid
+    cap = ts.buf_s.shape[0]
+    idx = (ts.cursor + jnp.arange(G)) % cap
+    widx = jnp.where(put, idx, cap)
+    ts = ts.replace(
+        buf_s=ts.buf_s.at[widx].set(ts.pend_s, mode="drop"),
+        buf_m=ts.buf_m.at[widx].set(ts.pend_m, mode="drop"),
+        buf_a=ts.buf_a.at[widx].set(ts.pend_a, mode="drop"),
+        buf_r=ts.buf_r.at[widx].set(reward, mode="drop"),
+        buf_ns=ts.buf_ns.at[widx].set(feats, mode="drop"),
+        buf_nm=ts.buf_nm.at[widx].set(mask, mode="drop"),
+        cursor=(ts.cursor + jnp.sum(put)) % cap,
+        filled=jnp.minimum(ts.filled + jnp.sum(put), cap))
+
     q = net.apply(ts.params, feats, mask)                     # [G, 2]
     greedy = jnp.argmax(q, axis=1)
     explore = jax.random.uniform(k_eps, (G,)) < ts.epsilon
@@ -318,24 +350,9 @@ def gat_step(cfg: Config, ts: GATTrain, grid, gs, lights, occupancy,
     lights, want, phase_req = _phase_mechanics(
         cfg, lights, active, action, cfg.GAT_TRAFFIC_RL_MIN_GREEN)
 
-    ln, le = features.group_flows(grid, occupancy, G)
-    reward = -(ln + le + trip_penalty)
-
-    nfeats, nmask = features.gat_state(cfg, grid, gs, lights, occupancy)
-
-    cap = ts.buf_s.shape[0]
-    idx = (ts.cursor + jnp.arange(G)) % cap
-    widx = jnp.where(gs.valid, idx, cap)
     ts = ts.replace(
-        buf_s=ts.buf_s.at[widx].set(feats, mode="drop"),
-        buf_m=ts.buf_m.at[widx].set(mask, mode="drop"),
-        buf_a=ts.buf_a.at[widx].set(action.astype(jnp.int32), mode="drop"),
-        buf_r=ts.buf_r.at[widx].set(reward, mode="drop"),
-        buf_ns=ts.buf_ns.at[widx].set(nfeats, mode="drop"),
-        buf_nm=ts.buf_nm.at[widx].set(nmask, mode="drop"),
-        cursor=(ts.cursor + jnp.sum(gs.valid)) % cap,
-        filled=jnp.minimum(ts.filled + jnp.sum(gs.valid), cap),
-        epsilon=epsilon)
+        pend_s=feats, pend_m=mask, pend_a=action.astype(jnp.int32),
+        pend_valid=gs.valid, epsilon=epsilon)
 
     def train(ts):
         bidx = jax.random.randint(k_samp, (cfg.GAT_BATCH_SIZE,), 0,
