@@ -53,42 +53,12 @@ def make_world(cfg: Config, cell, dirs, road_class, dest_cells):
         queue_group=jnp.full((H, W), -1, jnp.int32),
         queue_bucket=jnp.full((H, W), -1, jnp.int8))
 
-    L, A = caps.max_lights, caps.max_lights * 8
-    G, Q = caps.max_groups, caps.max_queue_cells
-    B, E = caps.max_blocks, caps.max_entrances_hw
-    ls = LightStatic(
-        valid=jnp.zeros((L,), bool), pos=jnp.zeros((L,), jnp.int32),
-        group=jnp.full((L,), -1, jnp.int32),
-        axis=jnp.full((L,), -1, jnp.int32),
-        assign_road=jnp.full((A,), -1, jnp.int32),
-        assign_light=jnp.full((A,), -1, jnp.int32),
-        assign_valid=jnp.zeros((A,), bool))
-    gs = GroupStatic(
-        valid=jnp.zeros((G,), bool),
-        neighbor=jnp.full((G, 4), -1, jnp.int32),
-        intermediates=jnp.full((G, 8), -1, jnp.int32),
-        bbox=jnp.zeros((G, 4), jnp.int32),
-        intersection_size=jnp.zeros((G,)), penalty_score=jnp.zeros((G,)),
-        queue_cells=jnp.zeros((Q,), jnp.int32),
-        queue_qgroup=jnp.full((Q,), -1, jnp.int32),
-        queue_qbucket=jnp.zeros((Q,), jnp.int32),
-        run_lo=jnp.zeros((Q,), jnp.int32),
-        run_hi=jnp.zeros((Q,), jnp.int32),
-        run_seg=jnp.full((Q,), -1, jnp.int32))
-    bs = BlockStatic(
-        valid=jnp.zeros((B,), bool), btype=jnp.zeros((B,), jnp.uint8),
-        inner_count=jnp.zeros((B,), jnp.int32),
-        entrance=jnp.full((B,), -1, jnp.int32),
-        dest=jnp.full((B,), -1, jnp.int32),
-        service_dest=jnp.full((B,), -1, jnp.int32),
-        food_cap=jnp.zeros((B,)), waste_cap=jnp.zeros((B,)),
-        needs_food=jnp.zeros((B,), bool),
-        produces_waste=jnp.zeros((B,), bool))
-    dests = DestStatic(valid=dest_valid, pos=jnp.clip(dest_pos, 0, HW - 1),
-                       kind=jnp.zeros((D,), jnp.uint8),
-                       block=jnp.full((D,), -1, jnp.int32),
-                       hw_pos=jnp.full((E,), -1, jnp.int32),
-                       hw_valid=jnp.zeros((E,), bool))
+    from trafficsimulation_tpu.core.synth import empty_statics
+    L = caps.max_lights
+    G = caps.max_groups
+    ls, gs, bs, dests = empty_statics(cfg)
+    dests = dests.replace(valid=dest_valid,
+                          pos=jnp.clip(dest_pos, 0, HW - 1))
 
     DF = min(D, cfg.MAX_FIELD_DESTS or D)
     field = routing.compute_cost_fields(cfg, dirs, road_class,

@@ -209,3 +209,47 @@ def test_highway_labels(small_city):
         assert pat.match(lab), lab
         assert lab not in seen, f"duplicate label {lab}"
         seen.add(lab)
+
+
+def test_backward_scan_leads_to_merge_geometry():
+    """`leads_to`-faithful backward scan (`cell.py:201-227`,
+    `city_model.py:1528-1548`): a side-shift lane cell whose only arrow
+    points into the ADJACENT lane (R1 lane-change geometry) does not
+    break the ray — its traffic still reaches the controlled road via
+    the neighbor lane, so cells beyond it stay assigned to the light.
+    The former lane-local dir-bit test stopped the ray there (PARITY
+    known-gap #1)."""
+    import jax
+    from trafficsimulation_tpu import codes as C
+    from trafficsimulation_tpu.config import Config
+    from trafficsimulation_tpu.gen.lights import build_lights_and_groups
+
+    Hh = Ww = 24
+    cfg = Config(WIDTH=Ww, HEIGHT=Hh, TRAFFIC_LIGHT_RANGE=8)
+    caps = cfg.capacities()
+    cell = np.full((Hh, Ww), C.SIDEWALK, np.uint8)
+    dirs = np.zeros((Hh, Ww), np.uint8)
+    EB, SB = C.DIR_BITS[C.E_IDX], C.DIR_BITS[C.S_IDX]
+    yl, yu = 10, 11          # two eastbound lanes (S = -y)
+    xc = 16                  # intersection west edge
+    for y in (yl, yu):
+        cell[y, 2:xc] = C.R1
+        dirs[y, 2:xc] = EB
+    # side-shift cell on the upper lane: ONLY an arrow into the lower
+    # lane (merge), 3 cells before the intersection
+    dirs[yu, xc - 3] = SB
+    # 2x2 intersection; through arrows keep flow going east
+    for y in (yl, yu):
+        for x in (xc, xc + 1):
+            cell[y, x] = C.INTERSECTION
+            dirs[y, x] = EB
+    out = jax.jit(lambda c, d: build_lights_and_groups(
+        cfg, caps, c, d))(jnp.asarray(cell), jnp.asarray(dirs))
+
+    qg = np.asarray(out["queue_group"])
+    loc = np.asarray(out["light_of_cell"])
+    # the cell beyond the side-shift cell is still scanned + assigned
+    assert qg[yu, xc - 4] >= 0
+    assert loc[yu, xc - 4] >= 0
+    # and so is the side-shift cell itself (same_type + leads_to hold)
+    assert qg[yu, xc - 3] >= 0

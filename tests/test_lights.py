@@ -41,6 +41,10 @@ def make_synthetic():
                          bbox=jnp.array([[7, 8, 7, 8]], jnp.int32),
                          intersection_size=jnp.array([4 / 16.0]),
                          penalty_score=jnp.array([0.0]))
+    # stop runs in diff-buffer index space (gen/lights.run_decompose):
+    # each light's own cell + its single assigned road as length-1 H-runs
+    def h1(y, x):
+        return y * (W + 1) + x
     ls = SimpleNamespace(valid=jnp.array([True, True]),
                          pos=jnp.array([6 * W + 6, 9 * W + 9], jnp.int32),
                          group=jnp.array([0, 0], jnp.int32),
@@ -48,7 +52,14 @@ def make_synthetic():
                          assign_road=jnp.array([6 * W + 7, 7 * W + 6],
                                                jnp.int32),
                          assign_light=jnp.array([0, 1], jnp.int32),
-                         assign_valid=jnp.array([True, True]))
+                         assign_valid=jnp.array([True, True]),
+                         srun_lo=jnp.array([h1(6, 6), h1(6, 7),
+                                            h1(9, 9), h1(7, 6)], jnp.int32),
+                         srun_hi=jnp.array([h1(6, 7), h1(6, 8),
+                                            h1(9, 10), h1(7, 7)], jnp.int32),
+                         srun_light=jnp.array([0, 0, 1, 1], jnp.int32),
+                         sextra_cell=jnp.full((4,), -1, jnp.int32),
+                         sextra_light=jnp.full((4,), -1, jnp.int32))
     return grid, gs, ls
 
 
@@ -359,3 +370,30 @@ def test_run_reduction_equals_plane_reduction(small_cfg, small_city):
         b = fsm.group_reductions(grid, occ, G, gs=None)
         for x, y in zip(a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_stop_map_runs_match_pair_scatter(small_world):
+    """The runs-based stop map (diff-array + prefix, `fsm.build_stop_map`)
+    covers exactly the cells the per-pair scatter semantics define
+    (`cell.py:241-251`: a stopped light writes its own cell + every
+    assigned road), on a GENERATED world across random stop patterns."""
+    w = small_world
+    ls = w.lights_static
+    L = int(ls.valid.shape[0])
+    Hh, Ww = w.grid.cell_type.shape
+    lvalid = np.asarray(ls.valid)
+    lpos = np.asarray(ls.pos)
+    av = np.asarray(ls.assign_valid)
+    al = np.asarray(ls.assign_light)
+    ar = np.asarray(ls.assign_road)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        flags = rng.random(L) < (0.0, 0.4, 0.7, 1.0)[seed]
+        state = w.lights.replace(light_stop=jnp.asarray(flags))
+        got = np.asarray(fsm.build_stop_map(w.grid, ls, state))
+        exp = np.zeros((Hh * Ww,), bool)
+        on = lvalid & flags
+        exp[lpos[on]] = True
+        pair_on = av & on[np.clip(al, 0, L - 1)]
+        exp[ar[pair_on]] = True
+        assert (got.reshape(-1) == exp).all(), seed

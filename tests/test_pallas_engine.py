@@ -75,8 +75,8 @@ def test_tiled_kernel_matches_core():
                  MAX_VEHICLES=64, MAX_FIELD_DESTS=8)
     for seed in (0, 3):
         ks = jax.random.split(jax.random.PRNGKey(seed), 16)
-        sdir = jax.random.randint(ks[0], (D, Hh, Ww), 0, 256).astype(
-            jnp.uint8)
+        sdir = engine.pack_sdir4(jax.random.randint(
+            ks[0], (D, Hh, Ww), 0, 256).astype(jnp.uint8))
         wnd = jax.random.randint(ks[1], (Hh, Ww), 0, 16).astype(jnp.uint8)
         planes = tuple(jax.random.bits(ks[i + 2], (Hh, Ww))
                        for i in range(5)) + (

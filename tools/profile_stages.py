@@ -43,7 +43,7 @@ TICKS = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 def build_worlds():
     import bench
     cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=N_VEHICLES,
-                 MAX_FIELD_DESTS=64)
+                 MAX_FIELD_DESTS=int(os.environ.get('PROF_D', 64)))
     world = jax.jit(functools.partial(init_world, cfg))(
         jax.random.PRNGKey(0))
     cfg, world = measure_and_shrink(cfg, world)

@@ -52,6 +52,7 @@ class BridgeState:
         self.light_force = np.full((L,), -1, np.int8)
         self.spawn_rain = False
         self.spawn_requests = []   # (origin_flat, dest_id, kind)
+        self.paused = False        # UI pause (the Mesa start/stop button)
 
     # ---- override helpers -------------------------------------------------
     def force_lights(self, mask_ids, stop: bool):
@@ -259,6 +260,57 @@ def make_app(bridge: BridgeState):
             bridge.light_force = np.full_like(bridge.light_force, -1)
             _json(self, {"ok": True, "changed": sorted(kw)})
 
+    class DestinationsHandler(tornado.web.RequestHandler):
+        """Spawn-target inventory for the UI selects: routable
+        destinations (block entrances + highway exits with reference
+        labels) and highway-entrance indices (the reference's selection
+        lists, `vehicle_control.py:64-154`)."""
+
+        def get(self):
+            from .. import utils, codes as Cc
+            w = sim.world
+            grid = w.grid
+            cell = np.asarray(grid.cell_type)
+            Wd = cell.shape[1]
+            DF = w.cost_field.shape[0]
+            valid = np.asarray(w.dests.valid)
+            pos = np.asarray(w.dests.pos)
+            kind = np.asarray(w.dests.kind)
+            block = np.asarray(w.dests.block)
+            dests = []
+            for i in np.nonzero(valid)[0]:
+                if i >= DF:
+                    continue
+                p = int(pos[i])
+                if kind[i] == 1:
+                    label = utils.highway_label(grid, p)
+                else:
+                    label = f"Block {int(block[i])} entrance " \
+                            f"({p % Wd}, {p // Wd})"
+                dests.append({"id": int(i), "flat": p, "label": label})
+            entrances = []
+            hw = np.asarray(w.dests.hw_pos)
+            hv = np.asarray(w.dests.hw_valid)
+            for j in range(len(hw)):
+                if hv[j] and hw[j] >= 0:
+                    entrances.append({
+                        "index": int(j), "flat": int(hw[j]),
+                        "label": utils.highway_label(grid, int(hw[j]))})
+            _json(self, {"dests": dests, "entrances": entrances})
+
+    class PauseHandler(tornado.web.RequestHandler):
+        def post(self, action):
+            bridge.paused = action == "pause"
+            _json(self, {"ok": True, "paused": bridge.paused})
+
+    class UIHandler(tornado.web.RequestHandler):
+        def get(self):
+            import os
+            path = os.path.join(os.path.dirname(__file__), "ui.html")
+            self.set_header("Content-Type", "text/html; charset=utf-8")
+            with open(path, "rb") as f:
+                self.write(f.read())
+
     class FrameHandler(tornado.web.RequestHandler):
         def get(self):
             fb = np.asarray(sim.render())[::-1]   # north-up
@@ -273,6 +325,9 @@ def make_app(bridge: BridgeState):
                 self.write(fb.tobytes())
 
     return tornado.web.Application([
+        (r"/", UIHandler),
+        (r"/(pause|resume)", PauseHandler),
+        (r"/destinations", DestinationsHandler),
         (r"/(set_traffic_light_(?:go|stop))", LightHandler),
         (r"/(set_all_traffic_lights_(?:go|stop))", LightHandler),
         (r"/(set_intersection_(?:go|stop))", LightHandler),
@@ -321,6 +376,8 @@ def launch(sim, port: int | None = None, ticks_per_frame: int = 20):
     timer = TickTimer(seconds_per_tick=sim.cfg.TIME_PER_STEP_IN_SECONDS)
 
     def loop():
+        if bridge.paused:
+            return
         bridge.flush_into_world()
         sim.step(ticks_per_frame)
         timer.record(ticks_per_frame)

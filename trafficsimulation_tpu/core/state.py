@@ -44,6 +44,18 @@ class LightStatic:
     assign_road: jnp.ndarray   # i32 [A] controlled-road flat index (-1 pad)
     assign_light: jnp.ndarray  # i32 [A] light id
     assign_valid: jnp.ndarray  # bool [A]
+    # axis-aligned RUN decomposition of each light's stop cells (own cell
+    # + assigned roads): per tick the stop map becomes two diff-array
+    # writes per run + a log-shift prefix pass instead of one scatter
+    # element per cell (fsm.build_stop_map).  Indices address the padded
+    # H-diff [H, W+1] / V-diff [H+1, W] buffers (H-section first).
+    srun_lo: jnp.ndarray       # i32 [A]
+    srun_hi: jnp.ndarray       # i32 [A]
+    srun_light: jnp.ndarray    # i32 [A] owning light (-1 pad)
+    # assignment pairs whose cell is owned by ANOTHER light's run (rare
+    # multi-light cells keep exact OR-semantics via a scalar scatter)
+    sextra_cell: jnp.ndarray   # i32 [A] flat cell (-1 pad)
+    sextra_light: jnp.ndarray  # i32 [A]
 
 
 @struct.dataclass

@@ -45,7 +45,12 @@ def empty_statics(cfg: Config):
         axis=jnp.full((L,), -1, jnp.int32),
         assign_road=jnp.full((A,), -1, jnp.int32),
         assign_light=jnp.full((A,), -1, jnp.int32),
-        assign_valid=jnp.zeros((A,), bool))
+        assign_valid=jnp.zeros((A,), bool),
+        srun_lo=jnp.zeros((A,), jnp.int32),
+        srun_hi=jnp.zeros((A,), jnp.int32),
+        srun_light=jnp.full((A,), -1, jnp.int32),
+        sextra_cell=jnp.full((A,), -1, jnp.int32),
+        sextra_light=jnp.full((A,), -1, jnp.int32))
     gs = GroupStatic(
         valid=jnp.zeros((G,), bool),
         neighbor=jnp.full((G, 4), -1, jnp.int32),
@@ -217,6 +222,23 @@ def crossroad_world(cfg: Config, key=None, n_trips: int = 48) -> World:
         assign_road=ls.assign_road.at[:A].set(jnp.asarray(ar)),
         assign_light=ls.assign_light.at[:A].set(jnp.asarray(al)),
         assign_valid=ls.assign_valid.at[:A].set(True))
+    # stop runs (fsm.build_stop_map): one lane run + one own-cell run per
+    # light, in diff-buffer index space (gen/lights.run_decompose layout)
+    OFFV = H * (W + 1)
+    sruns = [
+        (ym * (W + 1) + (xm - R), ym * (W + 1) + xm, 0),
+        ((ym + 1) * (W + 1) + (xm + 2), (ym + 1) * (W + 1) + xm + 2 + R, 1),
+        (OFFV + (ym - R) * W + xm, OFFV + ym * W + xm, 2),
+        (OFFV + (ym + 2) * W + (xm + 1),
+         OFFV + (ym + 2 + R) * W + (xm + 1), 3),
+    ] + [(ly * (W + 1) + lx, ly * (W + 1) + lx + 1, i)
+         for i, (ly, lx) in enumerate(light_pos)]
+    nS = len(sruns)
+    ls = ls.replace(
+        srun_lo=ls.srun_lo.at[:nS].set(jnp.asarray([r[0] for r in sruns])),
+        srun_hi=ls.srun_hi.at[:nS].set(jnp.asarray([r[1] for r in sruns])),
+        srun_light=ls.srun_light.at[:nS].set(
+            jnp.asarray([r[2] for r in sruns])))
 
     # queue runs (prefix-buffer indexing per gen/lights.py: H-run at row
     # y over [x0, x1] -> Ph[y*(W+1)+x0 .. +x1+1]; V-run at col x over

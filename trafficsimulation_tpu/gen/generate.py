@@ -161,6 +161,11 @@ def generate_city(cfg: Config, key: jnp.ndarray):
         assign_road=lg["assign_road"],
         assign_light=lg["assign_light"],
         assign_valid=lg["assign_valid"],
+        srun_lo=lg["srun_lo"],
+        srun_hi=lg["srun_hi"],
+        srun_light=lg["srun_light"],
+        sextra_cell=lg["sextra_cell"],
+        sextra_light=lg["sextra_light"],
     )
     # compact queue-cell list: gathering Q labeled cells per tick replaces
     # the full-grid scatter-add in the light reductions

@@ -42,6 +42,69 @@ def _flat(y, x, W):
     return y * W + x
 
 
+def run_decompose(lab: jnp.ndarray):
+    """Axis-aligned run decomposition of a label plane: every labeled
+    cell lands in exactly one maximal vertical-chain or horizontal run
+    of equal labels (length-1 runs allowed).  Returns (run_end bool
+    [H, W] — one marker cell per run, lo, hi) where [lo, hi) index the
+    padded prefix/diff buffers: H-runs into an [H, W+1] section (row y,
+    cols x0..x1 -> y*(W+1)+x0 .. +x1+1), V-runs into an [H+1, W] section
+    at offset H*(W+1).  Exact segmented chain lengths via log-doubling
+    (SURVEY §7.3(3): prefix-scan re-formulations of ragged per-object
+    lists)."""
+    H, W = lab.shape
+
+    def _shift_fill(x, dy, dx, fill):
+        out = x
+        if dy:
+            pad = jnp.full((abs(dy), W), fill, x.dtype)
+            out = (jnp.concatenate([pad, out[:-dy]], 0) if dy > 0
+                   else jnp.concatenate([out[-dy:], pad], 0))
+        if dx:
+            pad = jnp.full((H, abs(dx)), fill, x.dtype)
+            out = (jnp.concatenate([pad, out[:, :-dx]], 1) if dx > 0
+                   else jnp.concatenate([out[:, -dx:], pad], 1))
+        return out
+
+    labeled = lab >= 0
+    same_up = labeled & (lab == _shift_fill(lab, 1, 0, -1))
+    same_dn = labeled & (lab == _shift_fill(lab, -1, 0, -1))
+    vish = labeled & (same_up | same_dn)
+    hish = labeled & ~vish
+    same_w = hish & (lab == _shift_fill(lab, 0, 1, -1)) & \
+        _shift_fill(hish, 0, 1, False)
+
+    def chain_len(s, dy, dx):
+        """d[c] = length of the consecutive s-chain ending at c (number
+        of predecessors linked to c through s)."""
+        d = s.astype(jnp.int32)
+        step = 1
+        n = H if dy else W
+        while step < n:
+            up = _shift_fill(d, step * dy, step * dx, 0)
+            d = d + jnp.where(d == step, up, 0)
+            step *= 2
+        return d
+
+    dv = chain_len(same_up, 1, 0)       # predecessors above
+    dh = chain_len(same_w, 0, 1)        # predecessors to the left
+    v_end = vish & ~same_dn             # bottom cell of each column chain
+    h_end = hish & ~(_shift_fill(same_w, 0, -1, False))
+    v_len = dv + 1
+    h_len = dh + 1
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    OFF_V = H * (W + 1)
+    h_lo = yy * (W + 1) + (xx - h_len + 1)
+    h_hi = yy * (W + 1) + xx + 1
+    v_lo = OFF_V + (yy - v_len + 1) * W + xx
+    v_hi = OFF_V + (yy + 1) * W + xx
+    run_end = v_end | h_end
+    lo = jnp.where(v_end, v_lo, h_lo)
+    hi = jnp.where(v_end, v_hi, h_hi)
+    return run_end, lo, hi
+
+
 def build_lights_and_groups(cfg: Config, caps: Capacities,
                             cell: jnp.ndarray, allowed: jnp.ndarray):
     H, W = cell.shape
@@ -194,13 +257,42 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     a_ly = jnp.where(a_light >= 0, lpos[al_safe] // W, -1)
     a_lx = jnp.where(a_light >= 0, lpos[al_safe] % W, -1)
 
+    # leads_to-faithful qualification (`cell.py:201-227`; PARITY former
+    # known-gap #1): the reference continues the backward ray while the
+    # cell's traffic can REACH the controlled road by a BFS over its
+    # outgoing arrows — which keeps scanning through merge/side-shift
+    # lane cells whose arrows point sideways rather than along the ray.
+    # Bounded array form: reach_d[c] = following arrows from c reaches a
+    # d-direction controlled cell within TRAFFIC_LIGHT_RANGE + 4 moves
+    # (a backward wavefront from all d-approach controlled cells at
+    # once; the unbounded BFS is bounded here by the scan range itself —
+    # ray cells sit within range of their road).
+    reach_d_planes = []
+    K_REACH = cfg.TRAFFIC_LIGHT_RANGE + 4
+    for d in range(4):
+        srcs = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
+        src_plane = jnp.zeros((HW,), bool).at[
+            jnp.where(srcs, a_road, HW - 1)].max(srcs).reshape(H, W)
+
+        def reach_body(_k, r):
+            grow = jnp.zeros((H, W), bool)
+            for m in range(4):
+                # c reaches when its arrow m points at a reaching cell
+                legal = (allowed & jnp.uint8(C.DIR_BITS[m])) != 0
+                grow = grow | (legal & _shift_from(r, m))
+            return r | grow
+
+        reach_d_planes.append(jax.lax.fori_loop(
+            0, K_REACH, reach_body, src_plane))
+
     for d in range(4):
         has_d = a_ok & ((road_dirs & jnp.uint8(C.DIR_BITS[d])) != 0)
+        reach_d = reach_d_planes[d]
 
         # fori_loop over the ray depth: the body (vector ops over [A] +
         # 3 scatters) compiles once instead of R times — generation
         # compile time is dominated by unrolled scatter HLOs
-        def bscan_body(_k, st, d=d):
+        def bscan_body(_k, st, d=d, reach_d=reach_d):
             queue_group, queue_bucket, light_of_cell, alive, py, px = st
             py = py - C.DIR_DY[d]
             px = px - C.DIR_DX[d]
@@ -209,7 +301,7 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
             cx = jnp.clip(px, 0, W - 1)
             pf = cy * W + cx
             same_type = orig_type[cy, cx] == a_orig
-            flows = (allowed[cy, cx] & jnp.uint8(C.DIR_BITS[d])) != 0
+            flows = reach_d[cy, cx]
             alive = alive & inb & same_type & flows
             # bucket by the ray cell's own dirs and position vs the light
             cdirs = allowed[cy, cx]
@@ -316,57 +408,32 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     lab = jnp.where(queue_group >= 0,
                     queue_group * 5 + queue_bucket.astype(jnp.int32),
                     -1).reshape(H, W)
+    run_end, run_lo_plane, run_hi_plane = run_decompose(lab)
 
-    def _shift_fill(x, dy, dx, fill):
-        out = x
-        if dy:
-            pad = jnp.full((abs(dy), W), fill, x.dtype)
-            out = (jnp.concatenate([pad, out[:-dy]], 0) if dy > 0
-                   else jnp.concatenate([out[-dy:], pad], 0))
-        if dx:
-            pad = jnp.full((H, abs(dx)), fill, x.dtype)
-            out = (jnp.concatenate([pad, out[:, :-dx]], 1) if dx > 0
-                   else jnp.concatenate([out[:, -dx:], pad], 1))
-        return out
-
-    labeled = lab >= 0
-    same_up = labeled & (lab == _shift_fill(lab, 1, 0, -1))
-    same_dn = labeled & (lab == _shift_fill(lab, -1, 0, -1))
-    vish = labeled & (same_up | same_dn)
-    hish = labeled & ~vish
-    same_w = hish & (lab == _shift_fill(lab, 0, 1, -1)) & \
-        _shift_fill(hish, 0, 1, False)
-
-    def chain_len(s, dy, dx):
-        """d[c] = length of the consecutive s-chain ending at c (number
-        of predecessors linked to c through s)."""
-        d = s.astype(jnp.int32)
-        step = 1
-        n = H if dy else W
-        while step < n:
-            up = _shift_fill(d, step * dy, step * dx, 0)
-            d = d + jnp.where(d == step, up, 0)
-            step *= 2
-        return d
-
-    dv = chain_len(same_up, 1, 0)       # predecessors above
-    dh = chain_len(same_w, 0, 1)        # predecessors to the left
-    v_end = vish & ~same_dn             # bottom cell of each column chain
-    h_end = hish & ~(_shift_fill(same_w, 0, -1, False))
-    v_len = dv + 1
-    h_len = dh + 1
-
-    yy, xx = jnp.mgrid[0:H, 0:W]
-    OFF_V = H * (W + 1)
-    # H-run over x0..x1 at row y: P[y*(W+1)+x0] .. P[y*(W+1)+x1+1]
-    h_lo = yy * (W + 1) + (xx - h_len + 1)
-    h_hi = yy * (W + 1) + xx + 1
-    # V-run over y0..y1 at col x: offset + y0*W+x .. offset + (y1+1)*W+x
-    v_lo = OFF_V + (yy - v_len + 1) * W + xx
-    v_hi = OFF_V + (yy + 1) * W + xx
-    run_end = v_end | h_end
-    run_lo_plane = jnp.where(v_end, v_lo, h_lo)
-    run_hi_plane = jnp.where(v_end, v_hi, h_hi)
+    # ---- 6e. stop-cell runs per light: the same decomposition over a
+    # light-ownership plane (own cell + assigned roads) so the per-tick
+    # stop map becomes a diff-array write per run + prefix pass instead
+    # of a scalar scatter per cell (fsm.build_stop_map).  Cells claimed
+    # by several lights keep exact OR-semantics: the non-owning pairs go
+    # to a small extras list.
+    lab_l = jnp.full((HW,), -1, jnp.int32)
+    put_a = a_ok & (a_light >= 0)
+    lab_l = lab_l.at[jnp.where(put_a, a_road, HW - 1)].set(
+        jnp.where(put_a, a_light, lab_l[jnp.clip(a_road, 0, HW - 1)]))
+    lab_l = lab_l.at[jnp.where(l_ok, lpos, HW - 1)].set(
+        jnp.where(l_ok, jnp.arange(L, dtype=jnp.int32),
+                  lab_l[jnp.clip(lpos, 0, HW - 1)]))
+    extra = put_a & (lab_l[jnp.clip(a_road, 0, HW - 1)] != a_light)
+    sextra_cell = jnp.where(extra, a_road, -1)
+    sextra_light = jnp.where(extra, a_light, -1)
+    s_end, s_lo_plane, s_hi_plane = run_decompose(lab_l.reshape(H, W))
+    A_cap = a_road.shape[0]
+    sidx = jnp.nonzero(s_end.reshape(-1), size=A_cap, fill_value=-1)[0]
+    s_ok = sidx >= 0
+    sidx_c = jnp.clip(sidx, 0, HW - 1)
+    srun_lo = jnp.where(s_ok, s_lo_plane.reshape(-1)[sidx_c], 0)
+    srun_hi = jnp.where(s_ok, s_hi_plane.reshape(-1)[sidx_c], 0)
+    srun_light = jnp.where(s_ok, lab_l[sidx_c], -1)
 
     # ---- 7. group scalar features (`intersection_light_group.py:155-171`)
     pen_tab = jnp.array([0.0, cfg.VEHICLE_ROAD_TYPES_PENALTY_R1,
@@ -451,6 +518,11 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
         assign_road=a_road,
         assign_light=a_light,
         assign_valid=a_ok & (a_light >= 0),
+        srun_lo=srun_lo,
+        srun_hi=srun_hi,
+        srun_light=srun_light,
+        sextra_cell=sextra_cell,
+        sextra_light=sextra_light,
         group_plane=group_plane,
         group_valid=g_valid,
         group_neighbor=neighbor,

@@ -269,20 +269,49 @@ def execute_phase_change(cfg: Config, ls: LightStatic, gs: GroupStatic,
 def build_stop_map(grid: Grid, ls: LightStatic,
                    state: LightsState) -> jnp.ndarray:
     """stop_map from per-light stop flags: a stopped light writes its own
-    cell and each assigned controlled road (`cell.py:241-251`)."""
+    cell and each assigned controlled road (`cell.py:241-251`).
+
+    Runs-based: each light's stop cells are axis-aligned RUNS
+    (ls.srun_*, gen/lights.py 6e), so the write is two diff-array
+    elements per stopped run + one log-shift prefix pass per axis —
+    TPU scatters price per ELEMENT (~19 cycles), so O(runs) beats the
+    former O(cells) scatter ~4x at range 10.  Multi-light cells keep
+    exact OR-semantics through the extras scatter."""
     H, W = grid.cell_type.shape
     HW = H * W
     L = ls.valid.shape[0]
-    # one fused scatter over [L + A] cells (scalar scatters price per
-    # element; merging halves the fixed per-scatter overhead)
-    own = jnp.where(ls.valid, ls.pos, HW - 1)
-    al = jnp.clip(ls.assign_light, 0, L - 1)
-    road = jnp.where(ls.assign_valid, ls.assign_road, HW - 1)
-    cells = jnp.concatenate([own, road])
-    vals = jnp.concatenate([ls.valid & state.light_stop,
-                            ls.assign_valid & state.light_stop[al]])
-    stop = jnp.zeros((HW,), bool).at[cells].max(vals)
-    return stop.reshape(H, W)
+    NH = H * (W + 1)
+    NV = (H + 1) * W
+
+    stopped = (ls.srun_light >= 0) & \
+        state.light_stop[jnp.clip(ls.srun_light, 0, L - 1)]
+    one = stopped.astype(jnp.int32)
+    sink = NH + NV
+    diff = jnp.zeros((NH + NV + 1,), jnp.int32)
+    diff = diff.at[jnp.where(stopped, ls.srun_lo, sink)].add(one)
+    diff = diff.at[jnp.where(stopped, ls.srun_hi, sink)].add(-one)
+
+    def incsum(x, axis):
+        n = x.shape[axis]
+        s = 1
+        while s < n:
+            if axis == 1:
+                x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :x.shape[1]]
+            else:
+                x = x + jnp.pad(x, ((s, 0), (0, 0)))[:x.shape[0]]
+            s *= 2
+        return x
+
+    cov_h = incsum(diff[:NH].reshape(H, W + 1), 1)[:, :W]
+    cov_v = incsum(diff[NH:NH + NV].reshape(H + 1, W), 0)[:H]
+    stop = (cov_h + cov_v) > 0
+
+    # rare cells assigned to a light other than their run's owner
+    ex_ok = ls.sextra_cell >= 0
+    ex_stop = ex_ok & state.light_stop[jnp.clip(ls.sextra_light, 0, L - 1)]
+    extra = jnp.zeros((HW + 1,), bool).at[
+        jnp.where(ex_stop, ls.sextra_cell, HW)].max(ex_stop)[:HW]
+    return stop | extra.reshape(H, W)
 
 
 def apply_light_overrides(state: LightsState,

@@ -249,22 +249,43 @@ def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
 ND_NONE = 7        # no static move
 WND_NONE = 7       # no wavefront move
 
-
-def select_dest_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
-    """nd[y, x] = sdir[dest[y, x], y, x] as one masked reduction over the
-    destination axis (TPU random gathers cost ~19 cycles/element; a
-    fused D-wide masked max reads sdir once at vector bandwidth).
-    Returns i32 (matching `pallas_engine.select_rows_pallas`)."""
-    D = sdir.shape[0]
-    ids = jnp.arange(D, dtype=jnp.int32)[:, None, None]
-    hit = dest[None] == ids
-    sel = jnp.max(jnp.where(hit, sdir, jnp.zeros((), sdir.dtype)), axis=0)
-    any_hit = jnp.any(hit, axis=0)
-    return jnp.where(any_hit, sel,
-                     jnp.asarray(ND_NONE, sdir.dtype)).astype(jnp.int32)
+# packed word whose every byte decodes to ND_NONE — the no-hit default
+# of the 4-rows-per-word select
+ND_NONE4 = 0x07070707
 
 
-def select_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+def pack_sdir4(sdir: jnp.ndarray) -> jnp.ndarray:
+    """Pack 4 consecutive destination rows of the u8 sdir stack into one
+    i32 plane (byte k of word g = row 4g+k, little-endian bitcast):
+    the destination-row select then costs ONE compare+select per 4 rows
+    plus a single per-cell byte extract — 4x fewer VPU ops, which is
+    what the select loop is bound by at large D (D=640 measured
+    VPU-bound, not HBM-bound, with the stack VMEM-resident).
+    Returns i32 [ceil(D/4), H, W]; padding rows decode to ND_NONE."""
+    D, H, W = sdir.shape
+    D4 = (D + 3) // 4
+    if D4 * 4 != D:
+        sdir = jnp.concatenate(
+            [sdir, jnp.full((D4 * 4 - D, H, W), ND_NONE, jnp.uint8)])
+    return jax.lax.bitcast_convert_type(
+        sdir.reshape(D4, 4, H, W).transpose(0, 2, 3, 1), jnp.int32)
+
+
+def select_dest_rows(sdir4: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+    """nd[y, x] = byte dest[y, x] of the packed stack (see `pack_sdir4`)
+    as one masked reduction over the word axis.  Each cell's dest hits
+    at most one word, so a masked sum reconstructs it; no-hit cells
+    (dest = none or beyond D) decode to ND_NONE.  Returns i32."""
+    D4 = sdir4.shape[0]
+    ids = jnp.arange(D4, dtype=jnp.int32)[:, None, None]
+    hit = (dest >> 2)[None] == ids
+    w = jnp.where(hit, sdir4, 0).sum(axis=0)
+    w = jnp.where(jnp.any(hit, axis=0), w, jnp.int32(ND_NONE4))
+    sh = (dest & 3) * 8
+    return (w >> sh) & 0xFF
+
+
+def select_rows(sdir4: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     """Backend dispatch for the destination-row select: the streaming
     Pallas kernel on TPU (HBM-bandwidth bound), the masked reduction
     elsewhere.  Both return the same i32 nd plane."""
@@ -273,8 +294,8 @@ def select_rows(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     # temporaries (a 1024^2 compile measures 19.98 MB scoped)
     if _on_tpu() and (20 * H * W) < 15 * 1024 * 1024:
         from . import pallas_engine as PE
-        return PE.select_rows_pallas(sdir, dest)
-    return select_dest_rows(sdir, dest)
+        return PE.select_rows_pallas(sdir4, dest)
+    return select_dest_rows(sdir4, dest)
 
 
 def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None, wnd=None):
@@ -468,6 +489,37 @@ def _sat_add1(field_i32, cap):
     return jnp.minimum(field_i32 + 1, cap)
 
 
+def _hash32(x: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3-style finalizer over u32: a bijective avalanche mixer, so
+    counter-based inputs yield well-distributed bits in ~6 VPU ops/cell
+    (vs ~40 for a threefry draw)."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def tick_randoms(cfg: Config, key, H: int, W: int):
+    """The tick's four random planes (malfunction roll, sideswipe roll,
+    speed re-roll, conflict priority) from ONE scalar threefry draw +
+    counter hashing.  Full threefry plane draws measured as the largest
+    part of the tick's fixed floor (NOTES.md); the hash keeps the same
+    24-bit uniform resolution as f32 `jax.random.uniform` (both quantize
+    to multiples of 2^-24, so sub-2^-24 probabilities behave
+    identically)."""
+    seeds = jax.random.bits(key, (4,), jnp.uint32)
+    iota = (jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0) * jnp.uint32(W)
+            + jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1))
+    b = [_hash32(iota + seeds[i]) for i in range(4)]
+    unit = jnp.float32(1.0 / (1 << 24))
+    r_mal = (b[0] >> 8).astype(jnp.float32) * unit
+    r_side = (b[1] >> 8).astype(jnp.float32) * unit
+    span = cfg.VEHICLE_MAX_SPEED - cfg.VEHICLE_MIN_SPEED + 1
+    r_reroll = cfg.VEHICLE_MIN_SPEED + jnp.minimum(
+        jnp.int32(span - 1),
+        ((b[2] >> 8).astype(jnp.float32) * unit * span).astype(jnp.int32))
+    return r_mal, r_side, r_reroll, b[3]
+
+
 def routing_planes(cfg: Config, world, es: EngineState):
     """Build the per-destination next-move planes (`build_sdir`) plus
     the shared overtake wavefront (`build_wavefront`) from the CURRENT
@@ -507,7 +559,7 @@ def routing_planes(cfg: Config, world, es: EngineState):
                       grid.is_road, enter2, hard)
     wnd = build_wavefront(cfg, grid.allowed_dirs, grid.is_road, enter2,
                           hard)
-    return sdir, wnd
+    return pack_sdir4(sdir), wnd
 
 
 def step_engine(cfg: Config, world, es: EngineState,
@@ -588,29 +640,27 @@ def step_engine(cfg: Config, world, es: EngineState,
     # shared by the XLA path and the VMEM-resident TPU kernel)
     if sdir is None:
         sdir = routing_planes(cfg, world, es)
-    sdir, wnd = sdir
+    sdir4, wnd = sdir
+    D = 4 * sdir4.shape[0]
     ped_bit = (ped_plane if ped_plane is not None
                else jnp.zeros((H, W), bool))
-    randoms = (jax.random.uniform(k_mal, (H, W)),
-               jax.random.uniform(k_side, (H, W)),
-               jax.random.randint(k_speed, (H, W), cfg.VEHICLE_MIN_SPEED,
-                                  cfg.VEHICLE_MAX_SPEED + 1),
-               jax.random.bits(k_prio, (H, W)))
+    randoms = tick_randoms(cfg, k_mal, H, W)
+    del k_side, k_speed, k_prio  # folded into the one hashed draw
     planes_in = (pa, pb, pc, pd, pe, pl)
-    tile = (pallas_engine.pick_tile(cfg, sdir.shape[0])
+    tile = (pallas_engine.pick_tile(cfg, D)
             if cfg.USE_PALLAS_ENGINE and _on_tpu() else None)
-    if _use_pallas(cfg, sdir.shape[0]):
+    if _use_pallas(cfg, D):
         out = pallas_engine.decide_move_pallas(
-            cfg, sdir, wnd, planes_in, stop_map, es.rain_map, ped_bit,
+            cfg, sdir4, wnd, planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, randoms)
     elif tile is not None:
         out = pallas_engine.decide_move_tiled(
-            cfg, sdir, wnd, planes_in, stop_map, es.rain_map, ped_bit,
+            cfg, sdir4, wnd, planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, randoms,
             th=tile[0], tw=tile[1])
     else:
         out = pallas_engine.decide_move_core(
-            cfg, nbr, lambda dest: select_rows(sdir, dest), wnd,
+            cfg, nbr, lambda dest: select_rows(sdir4, dest), wnd,
             *planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, *randoms)
     pa, pb, pc, pd, pe, pl, flags = out

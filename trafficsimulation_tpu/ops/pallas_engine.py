@@ -357,54 +357,67 @@ def decide_move_core(cfg: Config, shift, select, wnd,
 # Streaming destination-row select
 # ---------------------------------------------------------------------------
 
-def _select_kernel(DB, dest_ref, sdir_ref, out_ref):
+ND_NONE4 = 0x07070707   # packed word whose every byte is ND_NONE
+
+
+def _select_kernel(DB4, nsteps, dest_ref, sdir4_ref, out_ref):
     import jax.experimental.pallas as pl
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = jnp.full(out_ref.shape, jnp.int32(7))  # ND_NONE
+        out_ref[:] = jnp.full(out_ref.shape, jnp.int32(ND_NONE4))
 
     dest = dest_ref[:]
-    out = out_ref[:]
-    for k in range(DB):
-        hit = dest == (i * DB + k)
-        out = jnp.where(hit, sdir_ref[k].astype(jnp.int32), out)
-    out_ref[:] = out
+    hi = dest >> 2
+    w = out_ref[:]
+    for k in range(DB4):
+        w = jnp.where(hi == (i * DB4 + k), sdir4_ref[k], w)
+    last = i == nsteps - 1
+
+    @pl.when(last)
+    def _():
+        sh = (dest & 3) * 8
+        out_ref[:] = (w >> sh) & 0xFF
+
+    @pl.when(~last)
+    def _():
+        out_ref[:] = w
 
 
-def select_rows_pallas(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
-    """nd[y, x] = sdir[dest[y, x], y, x] as a streaming kernel: each grid
-    step loads a fat block of DB destination rows into VMEM and
-    overwrites the matching cells of the VMEM-resident accumulator (fat
-    blocks amortize the per-grid-step DMA/launch overhead; measured
-    ~7 us/step).  The dest plane and the accumulator have constant block
-    indices, so Pallas fetches/flushes them once — total HBM traffic is
-    one read of sdir (vs the XLA masked reduction which measures ~10x
-    off bandwidth at D=64).  Semantically identical to
-    `ops.engine.select_dest_rows` (dest values are unique per cell, so
-    overwrite == masked max)."""
+def select_rows_pallas(sdir4: jnp.ndarray,
+                       dest: jnp.ndarray) -> jnp.ndarray:
+    """nd[y, x] = byte dest[y, x] of the PACKED stack (engine.pack_sdir4:
+    4 destination rows per i32 word) as a streaming kernel: each grid
+    step loads a fat block of words into VMEM and overwrites the
+    matching cells of the VMEM-resident accumulator; the final step
+    extracts the byte.  One compare+select per FOUR destination rows —
+    the select loop is VPU-bound once resident, so the packing is a
+    ~4x op-count cut (decisive at D~640, full-routability scale).
+    HBM traffic stays one read of the stack.  Semantically identical to
+    `ops.engine.select_dest_rows`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    D, H, W = sdir.shape
-    # DB rows per step, <= ~4 MB of VMEM for the sdir block
-    DB = max(1, min(D, (4 * 1024 * 1024) // (H * W * sdir.dtype.itemsize)))
-    while D % DB != 0:
-        DB -= 1
+    D4, H, W = sdir4.shape
+    # DB4 words per step, <= ~4 MB of VMEM for the block
+    DB4 = max(1, min(D4, (4 * 1024 * 1024) // (H * W * 4)))
+    while D4 % DB4 != 0:
+        DB4 -= 1
+    n = D4 // DB4
     return pl.pallas_call(
-        functools.partial(_select_kernel, DB),
-        grid=(D // DB,),
+        functools.partial(_select_kernel, DB4, n),
+        grid=(n,),
         in_specs=[
             pl.BlockSpec((H, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((DB, H, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((DB4, H, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((H, W), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
-    )(dest, sdir)
+    )(dest, sdir4)
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +431,7 @@ def select_rows_pallas(sdir: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
 TILE_HALO = 16
 
 
-def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
+def decide_move_tiled(cfg: Config, sdir4, wnd, planes, stop_map, rain_map,
                       ped_block, intersection, dest_id, randoms,
                       th: int, tw: int, interpret: bool = False):
     """Fused decide+movement over window tiles.
@@ -438,7 +451,7 @@ def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
 
     pa, pb, pc, pd, pe, pl_ = planes
     H, W = pa.shape
-    D = sdir.shape[0]
+    D4 = sdir4.shape[0]
     P = TILE_HALO
     nty, ntx = H // th, W // tw
     T = nty * ntx
@@ -456,8 +469,8 @@ def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
     # pad semantics: outside the grid nothing exists and movement there
     # is blocked (present=0, stop=1, no roads/destinations)
     w_in = (
-        jnp.stack([jnp.pad(sdir, ((0, 0), (P, P), (P, P)),
-                           constant_values=7)[
+        jnp.stack([jnp.pad(sdir4, ((0, 0), (P, P), (P, P)),
+                           constant_values=ND_NONE4)[
             :, ty * th:ty * th + th + 2 * P,
             tx * tw:tx * tw + tw + 2 * P]
             for ty in range(nty) for tx in range(ntx)]),
@@ -476,11 +489,12 @@ def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
                rm_ref, rs_ref, rr_ref, rp_ref,
                opa, opb, opc, opd, ope, opl, oflags):
         def select(dest):
-            nd = jnp.full(dest.shape, jnp.int32(7))
-            for d in range(D):
-                nd = jnp.where(dest == d, sd_ref[0, d].astype(jnp.int32),
-                               nd)
-            return nd
+            hi = dest >> 2
+            w = jnp.full(dest.shape, jnp.int32(ND_NONE4))
+            for g in range(D4):
+                w = jnp.where(hi == g, sd_ref[0, g], w)
+            sh = (dest & 3) * 8
+            return (w >> sh) & 0xFF
 
         out = decide_move_core(
             cfg, _shift_roll, select, wnd_ref[0],
@@ -496,7 +510,7 @@ def decide_move_tiled(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
     spec_w = lambda: pl.BlockSpec((1, th + 2 * P, tw + 2 * P),
                                   lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
-    spec_sd = pl.BlockSpec((1, D, th + 2 * P, tw + 2 * P),
+    spec_sd = pl.BlockSpec((1, D4, th + 2 * P, tw + 2 * P),
                            lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
@@ -646,16 +660,19 @@ def _shift_roll(x, d, fill):
     return out
 
 
-def _kernel(cfg, D, sdir_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref,
+def _kernel(cfg, D4, sdir4_ref, wnd_ref, pa_ref, pb_ref, pc_ref, pd_ref,
             pe_ref, pl_ref, stop_ref, rain_ref, ped_ref, inter_ref,
             dest_ref, rmal_ref, rside_ref, rrer_ref, rprio_ref,
             opa, opb, opc, opd, ope, opl, oflags):
     def select(dest):
-        # i32 selects: Mosaic lacks sub-32-bit select lowerings
-        nd = jnp.full(dest.shape, jnp.int32(7))
-        for d in range(D):
-            nd = jnp.where(dest == d, sdir_ref[d].astype(jnp.int32), nd)
-        return nd
+        # packed stack: one compare+select per 4 destination rows, then
+        # a per-cell byte extract (see engine.pack_sdir4)
+        hi = dest >> 2
+        w = jnp.full(dest.shape, jnp.int32(ND_NONE4))
+        for g in range(D4):
+            w = jnp.where(hi == g, sdir4_ref[g], w)
+        sh = (dest & 3) * 8
+        return (w >> sh) & 0xFF
 
     out = decide_move_core(
         cfg, _shift_roll, select, wnd_ref[:],
@@ -689,16 +706,17 @@ def vmem_fits(cfg: Config, D: int) -> bool:
     return need < 100 * 1024 * 1024
 
 
-def decide_move_pallas(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
+def decide_move_pallas(cfg: Config, sdir4, wnd, planes, stop_map, rain_map,
                        ped_block, intersection, dest_id, randoms,
                        interpret: bool = False):
-    """Run `decide_move_core` as one VMEM-resident TPU kernel."""
+    """Run `decide_move_core` as one VMEM-resident TPU kernel.
+    `sdir4`: the PACKED stack (engine.pack_sdir4)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     pa, pb, pc, pd, pe, pl_ = planes
     H, W = pa.shape
-    D = sdir.shape[0]
+    D4 = sdir4.shape[0]
     r_mal, r_side, r_reroll, r_prio = randoms
 
     i32 = lambda x: x.astype(jnp.int32)   # 32-bit masks: Mosaic-clean
@@ -719,13 +737,13 @@ def decide_move_pallas(cfg: Config, sdir, wnd, planes, stop_map, rain_map,
         # 256x256; raise the conservative 16 MB default (v5e has 128 MB
         # of physical VMEM — the inputs/outputs + stack stay well under)
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=118 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_kernel, cfg, D),
+        functools.partial(_kernel, cfg, D4),
         out_shape=outs,
         in_specs=[spec] * n_in,
         out_specs=(spec,) * 7,
         interpret=interpret, **kw,
-    )(sdir, i32(wnd), pa, pb, pc, pd, pe, pl_,
+    )(sdir4, i32(wnd), pa, pb, pc, pd, pe, pl_,
       i32(stop_map), i32(rain_map), i32(ped_block), i32(intersection),
       dest_id, r_mal, r_side, r_reroll, r_prio)

@@ -535,6 +535,8 @@ def measure_and_shrink(cfg: Config, world: World):
     n_runs = min(n_runs, gs.run_seg.shape[0])
     n_lights = _pow2(int(np.asarray(ls.valid).sum()) + 1)
     n_assign = _pow2(int(np.asarray(ls.assign_valid).sum()) + 1)
+    n_sruns = min(_pow2(int((np.asarray(ls.srun_light) >= 0).sum()) + 1),
+                  ls.srun_light.shape[0])
     n_groups = _pow2(max(int(np.asarray(world.grid.group_id).max()),
                          int(np.asarray(world.grid.queue_group).max()),
                          int(np.asarray(ls.group).max())) + 2)
@@ -564,7 +566,12 @@ def measure_and_shrink(cfg: Config, world: World):
             group=sl(ls.group, n_lights), axis=sl(ls.axis, n_lights),
             assign_road=sl(ls.assign_road, n_assign),
             assign_light=sl(ls.assign_light, n_assign),
-            assign_valid=sl(ls.assign_valid, n_assign)),
+            assign_valid=sl(ls.assign_valid, n_assign),
+            srun_lo=sl(ls.srun_lo, n_sruns),
+            srun_hi=sl(ls.srun_hi, n_sruns),
+            srun_light=sl(ls.srun_light, n_sruns),
+            sextra_cell=sl(ls.sextra_cell, n_assign),
+            sextra_light=sl(ls.sextra_light, n_assign)),
         groups_static=gs.replace(
             valid=sl(gs.valid, n_groups), neighbor=sl(gs.neighbor, n_groups),
             intermediates=sl(gs.intermediates, n_groups),
