@@ -1,13 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: cell-updates/sec on the BASELINE headline config
-(256x256 grid, 10k vehicles — BASELINE.json `metric`).
+(256x256 grid, 10k vehicles — BASELINE.json `metric`), plus one
+sub-benchmark per BASELINE config so regressions in generation,
+pedestrians, world-batching and the 1024^2 flagship are visible every
+round (VERDICT r2 weak #7):
 
-Measures the fused `step_world` under `lax.scan`:
-  * single world: sim steps/sec with 10k active vehicles
-  * vmapped world batch (data-parallel sweep axis, BASELINE config #4):
-    aggregate cell-updates/sec = worlds * H * W * steps / time
+  #1 generation + light cycling, 100x100, headless
+  #2 vehicle CA, 256x256, 10k vehicles (headline, full routability)
+  #3 pedestrians on sidewalks with crosswalk/vehicle interaction
+  #4 many-world vmapped rollout (64x64 sweep worlds)
+  #5 1024x1024, 100k vehicles, on-device framebuffer render
 
-Prints ONE JSON line for the driver.
+Prints ONE JSON line for the driver; the per-config results ride in
+`extra.configs`.  Configs that exceed the time budget are reported as
+{"skipped": reason} — never silently dropped.
 """
 
 import functools
@@ -15,6 +21,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import jax
 
@@ -36,10 +43,18 @@ N_VEHICLES = 10_000
 TICKS = 100
 BATCH = 40
 
+_T0 = time.perf_counter()
+TIME_BUDGET = float(os.environ.get("BENCH_BUDGET_SECS", 2100))
+
+
+def _left():
+    return TIME_BUDGET - (time.perf_counter() - _T0)
+
 
 def inject_vehicles(cfg, world, n, seed=0):
     """Synthetic dense load: n vehicles on random reachable road cells."""
     rng = np.random.default_rng(seed)
+    Hh, Ww = world.grid.is_road.shape
     field = np.asarray(world.cost_field.min(axis=1))      # u16 [D, H, W]
     DF = field.shape[0]
     dvalid = np.asarray(world.dests.valid)[:DF]
@@ -62,21 +77,25 @@ def inject_vehicles(cfg, world, n, seed=0):
         kind=v.kind.at[idx].set(0),
     )
     vm = world.veh_map.reshape(-1).at[jnp.asarray(pos)].set(
-        idx.astype(jnp.int32)).reshape(H, W)
+        idx.astype(jnp.int32)).reshape(Hh, Ww)
     return world.replace(vehicles=v, veh_map=vm)
 
 
-_T0 = time.perf_counter()
+def _steps_per_sec(cfg, world, ticks):
+    chunk = jax.jit(functools.partial(run_chunk, cfg, n=ticks))
+    w = jax.block_until_ready(chunk(world))   # compile + warm
+    t0 = time.perf_counter()
+    w = jax.block_until_ready(chunk(w))
+    return ticks / (time.perf_counter() - t0), w
 
 
-def main():
+def bench_headline():
+    """#2: the headline — 256x256, 10k vehicles, FULL routability
+    (every block destination has a field row; `blocks_unroutable` = 0)."""
     cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=N_VEHICLES,
                  MAX_FIELD_DESTS=640)
     key = jax.random.PRNGKey(0)
-
     world = jax.jit(functools.partial(init_world, cfg))(key)
-    # measured capacities: every padded-table op (scatters, dest gathers)
-    # shrinks to what this world actually contains
     cfg, world = measure_and_shrink(cfg, world)
     n_dests = int(np.asarray(world.dests.valid).sum())
     bs = world.blocks_static
@@ -86,21 +105,12 @@ def main():
     world = inject_vehicles(cfg, world, N_VEHICLES)
     world = jax.block_until_ready(world)
 
-    chunk = jax.jit(functools.partial(run_chunk, cfg, n=TICKS))
-    world2 = jax.block_until_ready(chunk(world))   # compile + warm
-    t0 = time.perf_counter()
-    world2 = jax.block_until_ready(chunk(world2))
-    dt_single = time.perf_counter() - t0
-    steps_per_sec = TICKS / dt_single
+    steps_per_sec, world2 = _steps_per_sec(cfg, world, TICKS)
 
-    # ---- batched worlds (same world replicated; the engine is identical
-    # per world, so replication measures true batched throughput).  The
-    # batch size is memory-bound by the per-world routing-field stack
-    # ([D, 4, H, W] u16 — 335 MB at full-routability D=640), so size it
-    # to ~10 GB of fields + planes out of the chip's 16 GB HBM.
-    t_start = time.perf_counter()
+    # batched worlds: size the batch to HBM (the [D, 4, H, W] u16 field
+    # stack is 335 MB/world at D=640)
     try:
-        if t_start - _T0 > 900:
+        if _left() < 300:
             raise TimeoutError("skip batch measurement (time budget)")
         world_bytes = sum(np.asarray(x).nbytes
                           for x in jax.tree_util.tree_leaves(world))
@@ -118,31 +128,147 @@ def main():
         cups = batch * H * W * TICKS / dt_batch
         batch_ok = True
     except Exception:
-        import traceback
         traceback.print_exc(file=sys.stderr)
         cups = H * W * steps_per_sec
         batch_ok = False
         batch = 1
 
-    active = int(world2.vehicles.active.sum())
     single_cups = H * W * steps_per_sec
     best_cups = max(cups if batch_ok else 0.0, single_cups)
     best_batch = batch if (batch_ok and cups > single_cups) else 1
+    return {
+        "value": round(best_cups, 1),
+        "batch": best_batch,
+        "single_world_steps_per_sec": round(steps_per_sec, 2),
+        "single_world_cell_updates_per_sec": round(single_cups, 1),
+        "batched_cell_updates_per_sec": round(cups, 1) if batch_ok
+        else None,
+        "active_vehicles": int(world2.vehicles.active.sum()),
+        "n_dests": n_dests,
+        "blocks_unroutable_no_field": unroutable,
+    }
+
+
+def bench_config1():
+    """#1: generation + light cycling, 100x100, headless, no traffic."""
+    cfg = Config(WIDTH=100, HEIGHT=100, ENABLE_TRAFFIC=False,
+                 MAX_FIELD_DESTS=64, MAX_VEHICLES=256)
+    gen = jax.jit(functools.partial(init_world, cfg))
+    w = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    for s in range(1, 4):
+        jax.block_until_ready(gen(jax.random.PRNGKey(s)))
+    gen_ms = (time.perf_counter() - t0) / 3 * 1e3
+    sps, _ = _steps_per_sec(cfg, w, 200)
+    return {"config": "gen+lights 100x100 headless",
+            "generate_ms": round(gen_ms, 1),
+            "light_cycling_steps_per_sec": round(sps, 1),
+            "lights": int(np.asarray(w.lights_static.valid).sum())}
+
+
+def bench_config3():
+    """#3: pedestrians on sidewalk rings with crosswalk interaction."""
+    cfg = Config(WIDTH=W, HEIGHT=H, MAX_VEHICLES=4096,
+                 MAX_FIELD_DESTS=64, PEDESTRIANS_ENABLED=True,
+                 PEDESTRIANS_PER_DAY=200_000)
+    world = jax.jit(functools.partial(init_world, cfg))(
+        jax.random.PRNGKey(0))
+    cfg, world = measure_and_shrink(cfg, world)
+    world = inject_vehicles(cfg, world, 4000)
+    sps, w2 = _steps_per_sec(cfg, world, 50)
+    return {"config": "pedestrians 256x256",
+            "steps_per_sec": round(sps, 1),
+            "cell_updates_per_sec": round(sps * H * W, 1),
+            "active_pedestrians": int(np.asarray(w2.peds.active).sum()),
+            "active_vehicles": int(np.asarray(w2.vehicles.active).sum())}
+
+
+def bench_config4():
+    """#4: many-world vmapped rollout (parameter-sweep axis).  64x64
+    worlds generated per-seed on device, stepped together."""
+    n_worlds = 256
+    cfg = Config(WIDTH=64, HEIGHT=64, WALL_THICKNESS=6,
+                 SIDEWALK_RING_WIDTH=2, MAX_FIELD_DESTS=16,
+                 MAX_VEHICLES=256,
+                 INTERNAL_POPULATION_TRAFFIC_PER_DAY=2000,
+                 PASSING_POPULATION_TRAFFIC_PER_DAY=500)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_worlds)
+    init = jax.jit(jax.vmap(functools.partial(init_world, cfg)))
+    t0 = time.perf_counter()
+    worlds = jax.block_until_ready(init(keys))
+    gen_s = time.perf_counter() - t0
+    ticks = 50
+    step = jax.jit(functools.partial(
+        lambda c, ws, n: jax.vmap(
+            functools.partial(run_chunk, c, n=n))(ws), cfg, n=ticks),
+        donate_argnums=0)
+    worlds = jax.block_until_ready(step(worlds))
+    t0 = time.perf_counter()
+    worlds = jax.block_until_ready(step(worlds))
+    dt = time.perf_counter() - t0
+    return {"config": f"{n_worlds}-world vmapped rollout 64x64",
+            "worlds": n_worlds,
+            "generate_all_sec": round(gen_s, 1),
+            "cell_updates_per_sec": round(n_worlds * 64 * 64 * ticks / dt,
+                                          1),
+            "steps_per_sec_per_world": round(ticks / dt, 1)}
+
+
+def bench_config5():
+    """#5: 1024x1024 city, 100k vehicles, on-device RGB framebuffer."""
+    from trafficsimulation_tpu.ops.render import render_frame
+    cfg = Config(WIDTH=1024, HEIGHT=1024, MAX_VEHICLES=100_000,
+                 MAX_FIELD_DESTS=64,
+                 INTERNAL_POPULATION_TRAFFIC_PER_DAY=100_000,
+                 PASSING_POPULATION_TRAFFIC_PER_DAY=20_000)
+    world = jax.jit(functools.partial(init_world, cfg))(
+        jax.random.PRNGKey(0))
+    cfg, world = measure_and_shrink(cfg, world)
+    world = inject_vehicles(cfg, world, 100_000)
+    ticks = 20
+    sps, w2 = _steps_per_sec(cfg, world, ticks)
+    rend = jax.jit(lambda w: render_frame(
+        w.grid, w.stop_map, w.rain_map, w.veh_map, w.vehicles,
+        pending_mask=jnp.zeros_like(w.stop_map)))
+    fb = jax.block_until_ready(rend(w2))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        fb = jax.block_until_ready(rend(w2))
+    render_ms = (time.perf_counter() - t0) / 5 * 1e3
+    return {"config": "1024x1024, 100k vehicles + framebuffer",
+            "steps_per_sec": round(sps, 1),
+            "cell_updates_per_sec": round(sps * 1024 * 1024, 1),
+            "active_vehicles": int(np.asarray(w2.vehicles.active).sum()),
+            "render_ms": round(render_ms, 2)}
+
+
+def main():
+    head = bench_headline()
+
+    configs = {}
+    for name, fn, need in (("config1_gen_lights", bench_config1, 240),
+                           ("config3_pedestrians", bench_config3, 300),
+                           ("config4_world_batch", bench_config4, 300),
+                           ("config5_1024_100k", bench_config5, 420)):
+        if _left() < need:
+            configs[name] = {"skipped": "time budget"}
+            continue
+        try:
+            configs[name] = fn()
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "cell-updates/sec (256x256, 10k vehicles, "
-                  f"{best_batch}-world batch)",
-        "value": round(best_cups, 1),
+                  f"{head['batch']}-world batch, full routability)",
+        "value": head["value"],
         "unit": "cell-updates/sec",
-        "vs_baseline": round(best_cups / 1e9, 4),
+        "vs_baseline": round(head["value"] / 1e9, 4),
         "extra": {
-            "single_world_steps_per_sec": round(steps_per_sec, 2),
-            "single_world_cell_updates_per_sec": round(single_cups, 1),
-            "batched_cell_updates_per_sec": round(cups, 1) if batch_ok
-            else None,
-            "active_vehicles": active,
-            "n_dests": n_dests,
-            "blocks_unroutable_no_field": unroutable,
+            **{k: v for k, v in head.items() if k != "value"},
             "device": str(jax.devices()[0]),
+            "configs": configs,
         },
     }))
 

@@ -27,7 +27,7 @@ from . import codes as C
 from .config import Config
 from .core.state import World, Vehicles, Metrics, Overrides
 from .gen.generate import generate_city
-from .ops import engine, movement, routing
+from .ops import engine, routing
 from .ops.density import density_map
 from .lights import fsm
 from .agents import demand as demand_mod
