@@ -73,7 +73,8 @@ def make_world(cfg: Config, cell, dirs, road_class, dest_cells):
                     cursor=jnp.int32(0), day=jnp.int32(0))
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
-        dests=dests, cost_field=engine.field_to_u16(field),
+        dests=dests,
+        cost_field=engine.field_to_u16_shifted(cfg, field, road_class),
         nearest_exit=jnp.zeros((D,), jnp.int32),
         veh_map=jnp.full((H, W), -1, jnp.int32),
         stop_map=jnp.zeros((H, W), bool),

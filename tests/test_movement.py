@@ -42,7 +42,7 @@ def engine_tick(world, stop_map=None):
     """One decide+move pass of the plane engine (XLA executor) with an
     explicit stop map; returns the SoA vehicle pool + veh_map."""
     es = _enter_engine(CFG, world)
-    sdir4, wnd = engine.routing_planes(CFG, world, es)
+    sdir4, wnd, _density = engine.routing_planes(CFG, world, es)
     stop = stop_map if stop_map is not None else jnp.zeros((H, W), bool)
     zb = jnp.zeros((H, W), bool)
     randoms = engine.tick_randoms(CFG, jax.random.PRNGKey(3), H, W)

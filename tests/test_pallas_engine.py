@@ -42,7 +42,7 @@ def test_pallas_kernel_matches_xla_core():
     grid = world.grid
 
     from trafficsimulation_tpu.ops.routing import _shift_plane
-    sd, wnd = sdir
+    sd, wnd, _density = sdir
     ref = pallas_engine.decide_move_core(
         CFG, _shift_plane, lambda d: engine.select_dest_rows(sd, d), wnd,
         *planes, stop, es.rain_map, ped, grid.intersection, grid.dest_id,

@@ -222,6 +222,11 @@ class Metrics:
     daily_created: jnp.ndarray
     daily_finished: jnp.ndarray
     last_daily_difference: jnp.ndarray
+    # rollover accumulators for the reference's `avg_daily_difference`
+    # (mean of daily finished-created over completed days,
+    # `dynamic_traffic_generator.py:605-611`)
+    daily_diff_sum: jnp.ndarray
+    days_completed: jnp.ndarray
     day: jnp.ndarray
 
 

@@ -101,7 +101,9 @@ def assemble_world(cfg: Config, grid: Grid, ls, gs, bs, dests, demand,
         dests.valid[:DF], is_road=grid.is_road)
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
-        dests=dests, cost_field=engine.field_to_u16(field),
+        dests=dests,
+        cost_field=engine.field_to_u16_shifted(cfg, field,
+                                               grid.road_class),
         nearest_exit=_nearest_exit_table(cfg, dests, DF),
         veh_map=jnp.full((H, W), -1, jnp.int32),
         stop_map=jnp.zeros((H, W), bool),

@@ -102,16 +102,41 @@ def field_to_u16(F: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(F >= routing.INF, jnp.uint16(INF_U16), v)
 
 
-def _entry_costs(cfg: Config, allowed, is_road, enter2, hard):
+def field_to_u16_shifted(cfg: Config, F: jnp.ndarray,
+                         road_class: jnp.ndarray) -> jnp.ndarray:
+    """The stored form of the cost field: u16 fixed-point (x2)
+    MOVE-CANDIDATE base costs
+
+        Q[d, m, c] = 2 * (F[d, m, c+delta_m] + 1 + road_penalty(c+delta_m))
+
+    i.e. pre-shifted one step along each heading with the STATIC entry
+    cost folded in at world init.  The per-segment sdir build then adds
+    only the dynamic soft penalties — no per-row rolls, widens or
+    static adds (the build streams the whole [D, 4, H, W] stack every
+    PATHFINDING_COOLDOWN ticks and measured ~40% of the tick at D=640
+    before this fold).  65535 = blocked / out of bounds."""
+    enter_stat = 1.0 + routing.road_type_penalty(cfg, road_class)
+    rows = []
+    for m in range(4):
+        fn = routing._shift_plane(F[:, m], m, routing.INF)
+        en = routing._shift_plane(enter_stat, m, routing.INF)
+        rows.append(fn + en)
+    Q = jnp.stack(rows, axis=1)
+    v = jnp.clip(jnp.round(Q * 2.0), 0, 65534).astype(jnp.uint16)
+    return jnp.where(Q >= routing.INF, jnp.uint16(INF_U16), v)
+
+
+def _entry_costs(cfg: Config, allowed, is_road, soft2, hard):
     """Shared per-direction move tables: (legal, pen_m, can_mv).
-    pen_m[m]: additive entry cost of moving in direction m (i32, huge
-    when blocked); can_mv[m]: the move lands on road and not on a hard
-    cell (the wavefront's permission)."""
+    pen_m[m]: additive DYNAMIC entry cost of moving in direction m
+    (i32, huge when blocked) — the static part lives pre-folded in the
+    stored field (`field_to_u16_shifted`); can_mv[m]: the move lands on
+    road and not on a hard cell (the wavefront's permission)."""
     cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
     legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
     pen_m, can_mv = [], []
     for m in range(4):
-        en = nbr(enter2, m, jnp.int32(60000))
+        en = nbr(soft2, m, jnp.int32(60000))
         hd = nbr(hard, m, True)
         rd = nbr(is_road, m, False)
         ok = (legal[m] | rd) & ~hd
@@ -122,46 +147,46 @@ def _entry_costs(cfg: Config, allowed, is_road, enter2, hard):
     return legal, pen_m, can_mv
 
 
-def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
-               is_road: jnp.ndarray, enter2: jnp.ndarray,
+def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
+               is_road: jnp.ndarray, soft2: jnp.ndarray,
                hard: jnp.ndarray) -> jnp.ndarray:
-    """Per-destination next-move plane u8 [D, H, W] (the compact form of
-    round-1's `next_dir_planes` [D, 5, H, W]): bits 0-2 best move
-    direction (7 = no move), bit 3 = best move is contraflow, bits 4-7 =
-    heading h may continue straight instead (within TURN_PENALTY of
-    best; straight bits are only set for *legal* moves).
+    """Per-destination next-move planes, PACKED 4 rows per i32 word
+    ([ceil(D/4), H, W], see `pack_sdir4` for the byte layout): bits 0-2
+    best move direction (7 = no move), bit 3 = best move is contraflow,
+    bits 4-7 = heading h may continue straight instead (within
+    TURN_PENALTY of best; straight bits only for *legal* moves).
+
+    `Q_u16`: the pre-shifted statically-penalized candidate stack
+    (`field_to_u16_shifted`) — per row the build is adds/mins only; no
+    rolls.  `soft2`: i32 [H, W] = round(2 * dynamic soft costs)
+    (occupied-vehicle + stop penalties) of the cell being entered;
+    `hard`: impassable cells (stranded/parked occupants — the
+    reference's strict phase-1 hard obstacles, `vehicle_base.py:280-291`).
 
     The overtake merge wavefront lives in a SEPARATE shared [H, W] plane
-    (`build_wavefront`) — per-dest wavefronts cost D times the memory
-    traffic for nearly identical answers near a blocker.
-
-    enter2: i32 [H, W] = round(2 * (1 + road_penalty + soft dynamic
-    costs)) of the cell being entered; hard: impassable cells
-    (stranded/parked occupants — the reference's strict phase-1 hard
-    obstacles, `vehicle_base.py:280-291`).
-    """
-    D = F_u16.shape[0]
+    (`build_wavefront`)."""
+    D = Q_u16.shape[0]
     H, W = allowed.shape
     tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
-    legal, pen_m, _ = _entry_costs(cfg, allowed, is_road, enter2, hard)
+    legal, pen_m, _ = _entry_costs(cfg, allowed, is_road, soft2, hard)
 
-    # kernel VMEM budget: one dest row of F (4 headings u16) + pen/legal
-    # stacks + working planes; beyond ~6 MB fall back to the XLA path
-    # (spatial tiling is the round-3 item for 1024^2 grids)
-    if _on_tpu() and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024:
+    # kernel VMEM budget: one 4-row block of Q (4 headings u16) +
+    # pen/legal stacks + working planes; beyond ~6 MB fall back to the
+    # XLA path (1024^2 grids)
+    if _on_tpu() and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024 \
+            and D % 4 == 0:
         pen4 = jnp.stack(pen_m)
         legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
-        return pallas_engine.build_sdir_pallas(
-            cfg, F_u16, pen4, legal4).astype(jnp.uint8)
+        return pallas_engine.build_sdir_pallas(cfg, Q_u16, pen4, legal4)
 
     def block(rows):
-        """Encode a [DB, 4, H, W] block of field rows (vectorized over
-        destinations; a few fat ops instead of D tiny loop iterations —
-        lax loop iterations cost ~microseconds of dispatch each)."""
+        """Encode a [DB, 4, H, W] block of candidate rows (vectorized
+        over destinations; a few fat ops instead of D tiny loop
+        iterations)."""
         cands = []
         for m in range(4):
-            fn = nbr(rows[:, m], m, jnp.uint16(INF_U16)).astype(jnp.int32)
+            fn = rows[:, m].astype(jnp.int32)
             c = jnp.where(fn >= INF_U16, BIG, fn + pen_m[m][None])
             cands.append(jnp.minimum(c, BIG))
         best01 = jnp.minimum(cands[0], cands[1])
@@ -190,15 +215,15 @@ def build_sdir(cfg: Config, F_u16: jnp.ndarray, allowed: jnp.ndarray,
         DB = D  # uneven D: single block
     nblk = D // DB
     if nblk <= 1:
-        return block(F_u16)
+        return pack_sdir4(block(Q_u16))
 
     def body(i, out):
-        rows = jax.lax.dynamic_slice_in_dim(F_u16, i * DB, DB, axis=0)
+        rows = jax.lax.dynamic_slice_in_dim(Q_u16, i * DB, DB, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(
             out, block(rows), i * DB, axis=0)
 
-    return jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((D, H, W), jnp.uint8))
+    return pack_sdir4(jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((D, H, W), jnp.uint8)))
 
 
 def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
@@ -550,16 +575,17 @@ def routing_planes(cfg: Config, world, es: EngineState):
         vp = jnp.full((H, W), cfg.VEHICLE_OBSTACLE_PENALTY_VEHICLE)
     soft = jnp.where(occ_moving, vp, 0.0) + jnp.where(
         es.stop_map, jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
-    enter_stat = 1.0 + routing.road_type_penalty(cfg, grid.road_class)
-    enter2 = jnp.round(2.0 * (enter_stat + soft)).astype(jnp.int32)
+    # static entry costs live pre-folded in the stored field
+    # (`field_to_u16_shifted`); only the dynamic soft part is built here
+    soft2 = jnp.round(2.0 * soft).astype(jnp.int32)
     hard = stranded_occ
     if cfg.PEDESTRIANS_ENABLED:
         hard = hard | (es.ped_map > 0)
-    sdir = build_sdir(cfg, world.cost_field, grid.allowed_dirs,
-                      grid.is_road, enter2, hard)
-    wnd = build_wavefront(cfg, grid.allowed_dirs, grid.is_road, enter2,
+    sdir4 = build_sdir(cfg, world.cost_field, grid.allowed_dirs,
+                       grid.is_road, soft2, hard)
+    wnd = build_wavefront(cfg, grid.allowed_dirs, grid.is_road, soft2,
                           hard)
-    return pack_sdir4(sdir), wnd
+    return sdir4, wnd, density
 
 
 def step_engine(cfg: Config, world, es: EngineState,
@@ -589,8 +615,10 @@ def step_engine(cfg: Config, world, es: EngineState,
     present = (pa & 1) == 1
     occupancy = present
 
-    # ---- 1. density ------------------------------------------------------
-    density = density_map(present, grid.is_road, cfg.VEHICLE_AWARENESS_RANGE)
+    # ---- 1. density: refreshed with the routing planes (reference
+    # updates it per tick, `city_model.py:1853`, but its only consumer
+    # is the replan penalty, which refreshes per PATHFINDING_COOLDOWN
+    # anyway — two 42-pass box filters per tick measured ~3% of it)
 
     # ---- 2. lights (commit first so decide reads the fresh stop map) ----
     stuck_map = jnp.where(present, _fld(pb, PB_STUCK_SH, 12), 0)
@@ -640,7 +668,7 @@ def step_engine(cfg: Config, world, es: EngineState,
     # shared by the XLA path and the VMEM-resident TPU kernel)
     if sdir is None:
         sdir = routing_planes(cfg, world, es)
-    sdir4, wnd = sdir
+    sdir4, wnd, density = sdir
     D = 4 * sdir4.shape[0]
     ped_bit = (ped_plane if ped_plane is not None
                else jnp.zeros((H, W), bool))
@@ -690,6 +718,12 @@ def _use_pallas(cfg: Config, D: int) -> bool:
     return _on_tpu() and pallas_engine.vmem_fits(cfg, D)
 
 
+# Profiling gates for honest stage attribution (tools/profile_stages.py,
+# /tmp harnesses): section names added here are compiled OUT of
+# _post_move.  Empty in production; never set by library code.
+_POST_SKIP = frozenset()
+
+
 def _post_move(cfg: Config, world, es: EngineState, planes, lights,
                stop_map, density, peds, ped_map, tick, elapsed, key,
                k_rain, rl_state, events,
@@ -714,55 +748,63 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     present = (pa & 1) == 1
     kind = _fld(pa, PA_KIND_SH, 2)
 
-    # ---- arrivals + service FSM in destination space ----------------------
-    # Arrivals can only happen at the (few, static) destination cells, so
-    # every arrival metric reduces over the [Dall] gathered rows instead
-    # of the full grid (TPU reductions have a fixed multi-pass cost per
-    # plane; ~15 grid-wide sums here were 25% of the tick).  All six
-    # planes ride ONE packed [HW, 6] row stack: gathers/scatters then
-    # cost one ~24-byte row transaction per destination instead of six
-    # separate scalar elements (TPU gathers price per element).
+    # ---- arrivals in PLANE space, service FSM in destination space --------
+    # Arrival masks and metrics are pure plane math fused into one
+    # stacked [9, H, W] reduction (vector bandwidth).  Dest-space
+    # gathers/scatters remain only where per-destination STATE must be
+    # read-modify-written (the service FSM) or slot ids extracted —
+    # scalar gather/scatter elements price ~15-19 cycles each and the
+    # former 6-plane row stack was most of post_move's cost.
     Dall = dests.pos.shape[0]
     B = bs.valid.shape[0]
     dpos = jnp.clip(dests.pos, 0, HW - 1)
-    plb = jax.lax.bitcast_convert_type(pl, jnp.uint32)
-    pstack = jnp.stack([pa.reshape(-1), pb.reshape(-1), pc.reshape(-1),
-                        pd.reshape(-1), pe.reshape(-1), plb.reshape(-1)],
-                       axis=-1)                       # [HW, 6] u32
-    rows_d = pstack[dpos]                             # one row gather
-    pa_d = rows_d[:, 0]
-    pc_d = rows_d[:, 2]
-    pd_d = rows_d[:, 3]
-    pe_d = rows_d[:, 4]
-    pl_d = jax.lax.bitcast_convert_type(rows_d[:, 5], jnp.float32)
+    dest14_p = _fld(pa, PA_DEST_SH, 14)
+    at_dest_p = present & (grid.dest_id >= 0) & (dest14_p == grid.dest_id)
+    phase_p = _fld(pd, PD_PHASE_SH, 2)
+    dur_p = elapsed - _fld(pc, PC_DEPART_SH, 20).astype(jnp.float32) * dt
+    steps_p = _fld(pc, PC_STEPS_SH, 12).astype(jnp.float32)
+    done_i_p = at_dest_p & (kind == KIND_INTERNAL)
+    done_t_p = at_dest_p & (kind == KIND_THROUGH)
+    # service exit arrival: phase 2 at a highway-exit cell (kind-1 dests
+    # ARE HighwayExit cells; counted as a through completion — service
+    # vehicles carry population_type="through", `vehicle_service.py:36`)
+    svc_done_p = at_dest_p & (kind >= KIND_FOOD) & (phase_p == 2) & \
+        (grid.cell_type == C.HIGHWAY_EXIT)
+
+    arr = jnp.stack([
+        done_i_p.astype(jnp.float32), done_t_p.astype(jnp.float32),
+        jnp.where(done_i_p, dur_p, 0.0), jnp.where(done_t_p, dur_p, 0.0),
+        jnp.where(done_i_p, steps_p, 0.0),
+        jnp.where(done_t_p, steps_p, 0.0),
+        svc_done_p.astype(jnp.float32),
+        jnp.where(svc_done_p, dur_p, 0.0),
+        jnp.where(svc_done_p, steps_p, 0.0)]).sum(axis=(1, 2))
+    n_svc_done = arr[6].astype(jnp.int32)
+    m = m.replace(
+        completed_internal=m.completed_internal + arr[0].astype(jnp.int32),
+        completed_through=m.completed_through + arr[1].astype(jnp.int32)
+        + n_svc_done,
+        completed_service=m.completed_service + n_svc_done,
+        sum_duration_internal=m.sum_duration_internal + arr[2],
+        sum_duration_through=m.sum_duration_through + arr[3] + arr[7],
+        sum_steps_internal=m.sum_steps_internal + arr[4].astype(jnp.int32),
+        sum_steps_through=m.sum_steps_through
+        + (arr[5] + arr[8]).astype(jnp.int32),
+        malfunctions_total=m.malfunctions_total + events[0],
+        collisions_total=m.collisions_total + events[1])
+
+    # ---- service FSM (dest space: per-destination read-modify-write) ------
+    paf = pa.reshape(-1)
+    pa_d = paf[dpos]
+    pd_d = pd.reshape(-1)[dpos]
+    pe_d = pe.reshape(-1)[dpos]
+    pl_d = pl.reshape(-1)[dpos]
     is_here = dests.valid & ((pa_d & 1) == 1) & \
         (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
     kind_d = _fld(pa_d, PA_KIND_SH, 2)
-    dur_d = elapsed - _fld(pc_d, PC_DEPART_SH, 20).astype(
-        jnp.float32) * dt
-    steps_d = _fld(pc_d, PC_STEPS_SH, 12)
-
-    # ---- normal arrivals (`on_target_reached`) ----------------------------
-    # all six arrival reductions ride ONE [6, Dall] sum (each jnp.sum is
-    # its own multi-pass reduction otherwise)
-    done_d = is_here & (kind_d <= KIND_THROUGH)
-    done_i = done_d & (kind_d == KIND_INTERNAL)
-    done_t = done_d & (kind_d == KIND_THROUGH)
-    arr = jnp.stack([
-        done_i.astype(jnp.float32), done_t.astype(jnp.float32),
-        jnp.where(done_i, dur_d, 0.0), jnp.where(done_t, dur_d, 0.0),
-        jnp.where(done_i, steps_d, 0).astype(jnp.float32),
-        jnp.where(done_t, steps_d, 0).astype(jnp.float32)]).sum(axis=1)
-    m = m.replace(
-        completed_internal=m.completed_internal + arr[0].astype(jnp.int32),
-        completed_through=m.completed_through + arr[1].astype(jnp.int32),
-        sum_duration_internal=m.sum_duration_internal + arr[2],
-        sum_duration_through=m.sum_duration_through + arr[3],
-        sum_steps_internal=m.sum_steps_internal + arr[4].astype(jnp.int32),
-        sum_steps_through=m.sum_steps_through + arr[5].astype(jnp.int32),
-        malfunctions_total=m.malfunctions_total + events[0],
-        collisions_total=m.collisions_total + events[1])
     is_svc = is_here & (kind_d >= KIND_FOOD)
+    if "service" in _POST_SKIP:
+        is_svc = is_svc & False
     phase_d = _fld(pd_d, PD_PHASE_SH, 2)
     sb_raw = _fld(pd_d, PD_BLOCK_SH, 16)
     sb = jnp.clip(jnp.where(sb_raw == SVC_BLOCK_NONE, 0, sb_raw), 0, B - 1)
@@ -814,10 +856,9 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     phase_d = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase_d))
     parked_d = parked_d & ~finish
 
-    # scatter the updated service rows back (one row scatter; untouched
+    # scatter the updated service state back (3 planes; untouched
     # destinations write out of bounds and drop)
-    touch = is_svc
-    tpos = jnp.where(touch, dpos, HW)
+    tpos = jnp.where(is_svc, dpos, HW)
     pa_d_new = (pa_d & ~jnp.uint32((1 << PA_PARKED_SH)
                                    | (DEST_NONE << PA_DEST_SH))) \
         | (_u32(parked_d) << PA_PARKED_SH) \
@@ -825,29 +866,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pd_d_new = (_u32(phase_d)
                 | (_u32(jnp.clip(timer_d, 0, 255)) << PD_TIMER_SH)
                 | (_u32(new_sb) << PD_BLOCK_SH))
-    rows_new = rows_d.at[:, 0].set(pa_d_new).at[:, 3].set(pd_d_new) \
-        .at[:, 5].set(jax.lax.bitcast_convert_type(pl_d, jnp.uint32))
-    pstack = pstack.at[tpos].set(rows_new, mode="drop")
+    pa = pa.reshape(-1).at[tpos].set(pa_d_new, mode="drop").reshape(H, W)
+    pd = pd.reshape(-1).at[tpos].set(pd_d_new, mode="drop").reshape(H, W)
+    pl = pl.reshape(-1).at[tpos].set(pl_d, mode="drop").reshape(H, W)
 
-    # service exit arrival: counted as a through completion (service
-    # vehicles carry population_type="through", `vehicle_service.py:36`)
-    svc_done_d = is_here & (kind_d >= KIND_FOOD) & \
-        (_fld(pd_d, PD_PHASE_SH, 2) == 2) & (dests.kind == 1)
-    svc = jnp.stack([
-        svc_done_d.astype(jnp.float32),
-        jnp.where(svc_done_d, dur_d, 0.0),
-        jnp.where(svc_done_d, steps_d, 0).astype(jnp.float32)]).sum(axis=1)
-    n_svc_done = svc[0].astype(jnp.int32)
-    m = m.replace(
-        completed_through=m.completed_through + n_svc_done,
-        completed_service=m.completed_service + n_svc_done,
-        sum_duration_through=m.sum_duration_through + svc[1],
-        sum_steps_through=m.sum_steps_through + svc[2].astype(jnp.int32))
-
-    # ---- despawns ----------------------------------------------------------
-    despawn_d = done_d | svc_done_d
-    despawn = jnp.zeros((HW + 1,), bool).at[
-        jnp.where(despawn_d, dpos, HW)].set(despawn_d)[:HW].reshape(H, W)
+    # ---- despawns (plane-space; slot bookkeeping via the dest gather) -----
+    despawn = done_i_p | done_t_p | svc_done_p
 
     if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
         stuck_v = _fld(pb, PB_STUCK_SH, 12)
@@ -869,15 +893,25 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     else:
         # arrivals only happen at destination cells: free those slots
         # with a Dall-sized scatter (pe rows already gathered)
+        despawn_d = is_here & (
+            (kind_d <= KIND_THROUGH)
+            | ((kind_d >= KIND_FOOD) & (phase_d == 2) & (dests.kind == 1)))
         slot_f = pe_d.astype(jnp.int32)
         slot_used = slot_used.at[
             jnp.where(despawn_d, jnp.clip(slot_f, 0, V - 1), V)].set(
             False, mode="drop")
 
-    pstack = jnp.where(despawn.reshape(-1)[:, None], jnp.uint32(0), pstack)
-    paf = pstack[:, 0]
+    z32 = jnp.uint32(0)
+    pa = jnp.where(despawn, z32, pa)
+    pb = jnp.where(despawn, z32, pb)
+    pc = jnp.where(despawn, z32, pc)
+    pd = jnp.where(despawn, z32, pd)
+    pe = jnp.where(despawn, z32, pe)
+    pl = jnp.where(despawn, jnp.float32(0), pl)
+    paf = pa.reshape(-1)
 
     # ---- demand spawning (trip table pre-generated; see agents/demand) ----
+    skip_spawn = "spawn" in _POST_SKIP
     key, k_spawn = jax.random.split(key)
     del k_spawn  # spawn targets are deterministic given the table
     dem = world.demand          # static tables (scan-invariant)
@@ -888,7 +922,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     j = jnp.clip(idxs, 0, T - 1)
     due = (idxs < T) & dem.valid[j] & (dem.depart_tick[j] <= tick + 1)
     due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)  # sorted prefix
-    if not cfg.ENABLE_TRAFFIC:   # reference ENABLE_TRAFFIC flag
+    if not cfg.ENABLE_TRAFFIC or skip_spawn:
         due = due & False
     if spawn_slots is None:
         # single-tick path: find S free pool slots now.  run_chunk
@@ -925,30 +959,22 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     scell = jnp.where(place, org, HW)
     spawn_pa = (jnp.uint32(1) | (_u32(tkind) << PA_KIND_SH)
                 | (_u32(tdest) << PA_DEST_SH))
-    spawn_pc = _u32(jnp.clip((tick + 1), 0, (1 << 20) - 1))
+    spawn_pc = jnp.broadcast_to(
+        _u32(jnp.clip((tick + 1), 0, (1 << 20) - 1)), (S,))
     spawn_pd = _u32(jnp.where(tkind >= KIND_FOOD, sp_blk, SVC_BLOCK_NONE)
                     << PD_BLOCK_SH)
     spawn_pl = jnp.where(tkind == KIND_FOOD,
                          jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD), 0.0)
-    spawn_rows = jnp.stack([
-        spawn_pa,
-        jnp.zeros((S,), jnp.uint32),
-        jnp.broadcast_to(spawn_pc, (S,)),
-        spawn_pd,
-        _u32(jnp.clip(slots, 0, V - 1)),
-        jax.lax.bitcast_convert_type(spawn_pl, jnp.uint32)], axis=-1)
-    pstack = pstack.at[scell].set(spawn_rows, mode="drop")
+    zS = jnp.zeros((S,), jnp.uint32)
+    pa = paf.at[scell].set(spawn_pa, mode="drop").reshape(H, W)
+    pb = pb.reshape(-1).at[scell].set(zS, mode="drop").reshape(H, W)
+    pc = pc.reshape(-1).at[scell].set(spawn_pc, mode="drop").reshape(H, W)
+    pd = pd.reshape(-1).at[scell].set(spawn_pd, mode="drop").reshape(H, W)
+    pe = pe.reshape(-1).at[scell].set(
+        _u32(jnp.clip(slots, 0, V - 1)), mode="drop").reshape(H, W)
+    pl = pl.reshape(-1).at[scell].set(spawn_pl, mode="drop").reshape(H, W)
     slot_used = slot_used.at[jnp.where(place, slots, V)].set(
         True, mode="drop")
-
-    # unpack the packed stack back into the six planes
-    pa = pstack[:, 0].reshape(H, W)
-    pb = pstack[:, 1].reshape(H, W)
-    pc = pstack[:, 2].reshape(H, W)
-    pd = pstack[:, 3].reshape(H, W)
-    pe = pstack[:, 4].reshape(H, W)
-    pl = jax.lax.bitcast_convert_type(pstack[:, 5], jnp.float32).reshape(
-        H, W)
     cursor = cursor + jnp.sum(due)
     m = m.replace(
         created_internal=m.created_internal + jnp.sum(
@@ -973,6 +999,11 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         last_daily_difference=jnp.where(
             rolled, m.daily_finished - m.daily_created,
             m.last_daily_difference),
+        daily_diff_sum=jnp.where(
+            rolled, m.daily_diff_sum + m.daily_finished - m.daily_created,
+            m.daily_diff_sum),
+        days_completed=jnp.where(rolled, m.days_completed + 1,
+                                 m.days_completed),
         daily_created=jnp.where(rolled, tick_created,
                                 m.daily_created + tick_created),
         daily_finished=jnp.where(rolled, tick_finished,
@@ -980,9 +1011,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         day=new_day)
 
     # ---- rain, blocks ------------------------------------------------------
-    rain, rain_map = step_rain(cfg, H, W, es.rain, k_rain,
-                               force_spawn=es.overrides.spawn_rain)
-    bst = step_blocks(cfg, bs, bst, tick)
+    if "rainblocks" in _POST_SKIP:
+        rain, rain_map = es.rain, es.rain_map
+    else:
+        rain, rain_map = step_rain(cfg, H, W, es.rain, k_rain,
+                                   force_spawn=es.overrides.spawn_rain)
+        bst = step_blocks(cfg, bs, bst, tick)
 
     return es.replace(
         pa=pa, pb=pb, pc=pc, pd=pd, pe=pe, pl=pl,

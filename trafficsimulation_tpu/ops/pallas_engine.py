@@ -557,52 +557,63 @@ def pick_tile(cfg: Config, D: int):
 # Streaming sdir (static next-move byte) builder
 # ---------------------------------------------------------------------------
 
-def _sdir_kernel(DB, tp2, INF_U16, BIG, F_ref, pen_ref, legal_ref, out_ref):
+def _sdir_kernel(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref, out_ref):
     pen = [pen_ref[m] for m in range(4)]
     legal = [legal_ref[m] != 0 for m in range(4)]
-    for k in range(DB):
-        cands = []
-        for m in range(4):
-            fn = _shift_roll(F_ref[k, m].astype(jnp.int32), m,
-                             jnp.int32(INF_U16))
-            c = jnp.where(fn >= INF_U16, BIG, fn + pen[m])
-            cands.append(jnp.minimum(c, BIG))
-        best01 = jnp.minimum(cands[0], cands[1])
-        best23 = jnp.minimum(cands[2], cands[3])
-        best = jnp.minimum(best01, best23)
-        arg = jnp.where(
-            best01 <= best23,
-            jnp.where(cands[0] <= cands[1], 0, 1),
-            jnp.where(cands[2] <= cands[3], 2, 3))
-        none = best >= BIG
-        # logical form: Mosaic lacks i1 select lowerings
-        leg_at_arg = (((arg == 0) & legal[0]) | ((arg == 1) & legal[1])
-                      | ((arg == 2) & legal[2]) | ((arg == 3) & legal[3]))
-        contra = ~leg_at_arg
-        enc = arg | (contra.astype(jnp.int32) << 3)
-        for h in range(4):
-            ok_h = legal[h] & (cands[h] <= best + tp2) & (cands[h] < BIG)
-            enc = enc | (ok_h.astype(jnp.int32) << (4 + h))
-        out_ref[k] = jnp.where(none, jnp.int32(7), enc)
+    for g in range(DB // 4):
+        word = None
+        for k in range(4):
+            cands = []
+            for m in range(4):
+                # rows are pre-shifted with static costs folded in
+                # (engine.field_to_u16_shifted): adds/mins only
+                fn = Q_ref[4 * g + k, m].astype(jnp.int32)
+                c = jnp.where(fn >= INF_U16, BIG, fn + pen[m])
+                cands.append(jnp.minimum(c, BIG))
+            best01 = jnp.minimum(cands[0], cands[1])
+            best23 = jnp.minimum(cands[2], cands[3])
+            best = jnp.minimum(best01, best23)
+            arg = jnp.where(
+                best01 <= best23,
+                jnp.where(cands[0] <= cands[1], 0, 1),
+                jnp.where(cands[2] <= cands[3], 2, 3))
+            none = best >= BIG
+            # logical form: Mosaic lacks i1 select lowerings
+            leg_at_arg = (((arg == 0) & legal[0]) | ((arg == 1) & legal[1])
+                          | ((arg == 2) & legal[2])
+                          | ((arg == 3) & legal[3]))
+            contra = ~leg_at_arg
+            enc = arg | (contra.astype(jnp.int32) << 3)
+            for h in range(4):
+                ok_h = legal[h] & (cands[h] <= best + tp2) & \
+                    (cands[h] < BIG)
+                enc = enc | (ok_h.astype(jnp.int32) << (4 + h))
+            enc = jnp.where(none, jnp.int32(7), enc)
+            word = enc if word is None else word | (enc << (8 * k))
+        out_ref[g] = word
 
 
-def build_sdir_pallas(cfg: Config, F_u16, pen4, legal4) -> jnp.ndarray:
-    """TPU kernel form of `ops.engine.build_sdir`'s static byte: streams
-    the [D, 4, H, W] cost-field stack through VMEM in destination blocks
-    and encodes the next-move byte entirely on-chip — HBM traffic is one
-    read of F plus one i32 write of sdir (the XLA version materializes
-    ~15 [D, H, W] i32 transients).  Returns i32 [D, H, W] (Mosaic lacks
-    sub-32-bit stores; the caller narrows to u8 outside the kernel)."""
+def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4) -> jnp.ndarray:
+    """TPU kernel form of `ops.engine.build_sdir`: streams the
+    pre-shifted [D, 4, H, W] candidate stack through VMEM in destination
+    blocks and encodes next-move bytes entirely on-chip, writing the
+    PACKED [D/4, H, W] i32 form directly (pack_sdir4 layout) — HBM
+    traffic is one read of Q plus one write of the packed stack; no
+    separate narrowing or packing pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from . import engine as E
 
-    D, _, H, W = F_u16.shape
+    D = Q_u16.shape[0]
+    H, W = Q_u16.shape[2], Q_u16.shape[3]
     tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
               if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
-    DB = max(1, min(D, (2 * 1024 * 1024) // (4 * H * W * 2)))
+    # fat destination blocks: the build is per-grid-step DMA/launch
+    # overhead bound (~7 us/step; 160 steps x 16 worlds measured as
+    # the whole build cost at 2 MB blocks)
+    DB = max(4, min(D, (6 * 1024 * 1024) // (4 * H * W * 2) // 4 * 4))
     while D % DB != 0:
-        DB -= 1
+        DB -= 4
     return pl.pallas_call(
         functools.partial(_sdir_kernel, DB, tp2, E.INF_U16, E.BIG),
         grid=(D // DB,),
@@ -614,10 +625,10 @@ def build_sdir_pallas(cfg: Config, F_u16, pen4, legal4) -> jnp.ndarray:
             pl.BlockSpec((4, H, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((DB, H, W), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((DB // 4, H, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), jnp.int32),
-    )(F_u16, pen4, legal4)
+        out_shape=jax.ShapeDtypeStruct((D // 4, H, W), jnp.int32),
+    )(Q_u16, pen4, legal4)
 
 
 # ---------------------------------------------------------------------------

@@ -26,10 +26,18 @@ HEADERS = [
     "errored_internal", "errored_through",
     "live_internal", "live_through",
     "live_service_food", "live_service_waste",
+    # completed / live / combined averages (`_STAT_HEADERS` `:18-29`)
     "avg_duration_internal", "avg_duration_through",
     "avg_time_per_cell_internal", "avg_time_per_cell_through",
+    "avg_duration_internal_live", "avg_duration_through_live",
+    "avg_time_per_cell_internal_live", "avg_time_per_cell_through_live",
+    "avg_duration_internal_total", "avg_duration_through_total",
+    "avg_time_per_cell_internal_total", "avg_time_per_cell_through_total",
+    "avg_daily_difference",
+    "daily_total_internal", "remaining_internal",
+    "daily_total_through", "remaining_through",
     "collisions_total", "malfunctions_total",
-    "parked", "stuck", "overtaking",
+    "parked", "stuck", "overtaking", "in_stuck_detour",
     "avg_stuck_duration", "max_stuck_duration", "raining",
 ]
 

@@ -67,6 +67,7 @@ def init_metrics() -> Metrics:
         sum_steps_internal=z, sum_steps_through=z,
         collisions_total=z, malfunctions_total=z,
         daily_created=z, daily_finished=z, last_daily_difference=z,
+        daily_diff_sum=z, days_completed=z,
         day=z)
 
 
@@ -92,7 +93,7 @@ def init_world(cfg: Config, key) -> World:
     grid, ls, gs, bs, dests, field = generate_city(cfg, kgen)
     layout = trip_layout_cached(cfg)
     DF = field.shape[0]
-    field = engine.field_to_u16(field)
+    field = engine.field_to_u16_shifted(cfg, field, grid.road_class)
     dem = demand_mod.generate_days(
         cfg, layout, kday, jnp.int32(0), cfg.DEMAND_PREGEN_DAYS,
         jnp.int32(-1), bs.valid, bs.btype, bs.dest, bs.entrance,
@@ -422,6 +423,11 @@ class TrafficSim:
                                               m.sum_steps_internal),
             "avg_time_per_cell_through": avg(m.sum_duration_through,
                                              m.sum_steps_through),
+            # live / combined-total trip averages (reference cached-stats
+            # section ➋, `dynamic_traffic_generator.py:560-599`)
+            **self._live_trip_stats(),
+            "avg_daily_difference": avg(m.daily_diff_sum,
+                                        m.days_completed),
             "collisions_total": int(m.collisions_total),
             "malfunctions_total": int(m.malfunctions_total),
             "daily_created": int(m.daily_created),
@@ -456,6 +462,40 @@ class TrafficSim:
                     | (np.asarray(w.blocks_static.dest)
                        >= w.cost_field.shape[0]))).sum()),
         }
+
+    def _live_trip_stats(self) -> dict:
+        """Per-kind LIVE and combined-total trip averages (reference
+        cached-stats `dynamic_traffic_generator.py:528-599`): a live
+        trip's duration-so-far is `elapsed - depart_time`, its distance
+        `steps_traveled`."""
+        import numpy as np
+        w = self.world
+        v = w.vehicles
+        m = w.metrics
+        active = np.asarray(v.active)
+        kind = np.asarray(v.kind)
+        dur_live = float(w.elapsed) - np.asarray(v.depart_time)
+        steps = np.asarray(v.steps_traveled)
+        out = {}
+        for k, name in ((0, "internal"), (1, "through")):
+            mk = active & (kind == k)
+            n_live = int(mk.sum())
+            d_live = float(dur_live[mk].sum())
+            s_live = int(steps[mk].sum())
+            d_comp = float(getattr(m, f"sum_duration_{name}"))
+            s_comp = int(getattr(m, f"sum_steps_{name}"))
+            n_comp = int(getattr(m, f"completed_{name}"))
+            out[f"avg_duration_{name}_live"] = (
+                d_live / n_live if n_live else 0.0)
+            out[f"avg_time_per_cell_{name}_live"] = (
+                d_live / s_live if s_live else 0.0)
+            out[f"avg_duration_{name}_total"] = (
+                (d_comp + d_live) / (n_comp + n_live)
+                if n_comp + n_live else 0.0)
+            out[f"avg_time_per_cell_{name}_total"] = (
+                (d_comp + d_live) / (s_comp + s_live)
+                if s_comp + s_live else 0.0)
+        return out
 
     def _daily_trip_stats(self, total_secs: float) -> dict:
         """Per-kind daily totals / remaining / percentage / service ETAs
@@ -504,13 +544,13 @@ class TrafficSim:
 
 def _pow2(n: int, lo: int = 8) -> int:
     """Round a measured size up to a friendly padded capacity: the next
-    power of two below 512, else the next multiple of 512 (pow2 rounding
-    wastes up to 2x on big tables, and scalar scatter/gather cost scales
-    with the PADDED size)."""
+    power of two below 256, else the next multiple of 64 (scalar
+    scatter/gather cost scales with the PADDED size, so big tables
+    round tighter)."""
     n = max(int(n), lo)
     if n <= 256:
         return 1 << (n - 1).bit_length()
-    return ((n + 255) // 256) * 256
+    return ((n + 63) // 64) * 64
 
 
 def measure_and_shrink(cfg: Config, world: World):
