@@ -25,6 +25,13 @@ import pytest  # noqa: E402
 from trafficsimulation_tpu.config import Config  # noqa: E402
 
 
+def pytest_xdist_auto_num_workers(config):
+    """`-n auto` → min(2, cores): each worker duplicates the session
+    fixtures' XLA compiles, so 2 is the sweet spot on big machines and
+    1 (plain sequential) the only sane choice on small ones."""
+    return min(2, os.cpu_count() or 1)
+
+
 # 64x64 with scaled-down frame: compiles far faster than 100x100 while
 # still generating multiple bands/groups/blocks (same shape class as
 # __graft_entry__._small_cfg).
