@@ -179,3 +179,66 @@ def test_no_overtake_when_disabled():
     pos = int(world.vehicles.pos[1])
     assert pos // W == 4 and pos % W <= 9, \
         f"moved past the blocker without overtaking: {pos}"
+
+
+def test_overtake_ignores_unrelated_blocker():
+    """Direction-indexed wavefronts (PARITY known-gap #2 refinement): a
+    stranded vehicle on the OPPOSING lane, slightly behind the
+    overtaker, must not attract the excursion — the reference's phase-3
+    splice targets the first free cell on the vehicle's OWN path past
+    ITS blocker (`vehicle_base.py:309-366`), never another street's.
+    With the former single shared wavefront plane the nearest merge cell
+    here was the westbound blocker's (3 steps WEST); the packed
+    per-direction plane keys the descent to the vehicle's blocked
+    eastbound move."""
+    cell, dirs, rc, dest_cell = two_lane_road()
+    world = make_world(CFG, cell, dirs, rc, [dest_cell])
+    world = put_vehicle(world, 0, 4 * W + 10, dest=0, parked=True)  # own
+    world = put_vehicle(world, 2, 5 * W + 6, dest=0, parked=True,
+                        heading=3)                 # opposing-lane blocker
+    world = put_vehicle(world, 1, 4 * W + 7, dest=0)
+
+    step = jax.jit(functools.partial(step_world, CFG))
+    traj = []
+    for _ in range(CFG.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION):
+        world = step(world)
+        traj.append(int(world.vehicles.pos[1]))
+    cols = [p % W for p in traj]
+    assert min(cols) >= 7, \
+        f"excursion went backward toward the unrelated merge cell: {traj}"
+    passed = [c for p, c in zip(traj, cols) if p // W == 4 and c > 10]
+    assert passed, f"never passed its own blocker: {traj}"
+
+
+def test_overtake_merges_before_route_split():
+    """Bound for the remaining shared-within-direction approximation: a
+    second vehicle whose route TURNS just past the blocker still merges
+    at the first free cell past it and completes its turn — both the
+    reference splice and the direction-keyed wavefront pick the same
+    merge cell here, so the trip overhead vs the unblocked optimum stays
+    within the excursion bound (VERDICT r2 missing #6)."""
+    cell, dirs, rc, dest_cell = two_lane_road()
+    # branch just past the blocker: col 12 toward row 1 (S = y-1 in this
+    # engine's shift convention), rows 1-4
+    cell[1:4, 12] = C.R3
+    dirs[2:5, 12] |= C.DIR_BITS[C.S_IDX]
+    cell[1, 12] = C.BLOCK_ENTRANCE
+    rc[1:4, 12] = np.where(cell[1:4, 12] == C.BLOCK_ENTRANCE, 1, 3)
+    world = make_world(CFG, cell, dirs, rc, [dest_cell, 1 * W + 12])
+    world = put_vehicle(world, 0, 4 * W + 10, dest=0, parked=True)
+    world = put_vehicle(world, 1, 4 * W + 7, dest=1)   # turns at col 12
+
+    step = jax.jit(functools.partial(step_world, CFG))
+    done_at = None
+    for t in range(3 * CFG.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION):
+        world = step(world)
+        if not bool(world.vehicles.active[1]):
+            done_at = t + 1
+            break
+    assert done_at is not None, "turning vehicle never arrived"
+    # unblocked optimum is 8 moves at speed<=1 plus spawn/speed warmup;
+    # allow the excursion bound on top
+    optimum = 8
+    slack = CFG.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS + 6
+    assert done_at <= optimum + slack, \
+        f"turned trip took {done_at} ticks (> {optimum + slack})"

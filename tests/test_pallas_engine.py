@@ -77,7 +77,10 @@ def test_tiled_kernel_matches_core():
         ks = jax.random.split(jax.random.PRNGKey(seed), 16)
         sdir = engine.pack_sdir4(jax.random.randint(
             ks[0], (D, Hh, Ww), 0, 256).astype(jnp.uint8))
-        wnd = jax.random.randint(ks[1], (Hh, Ww), 0, 16).astype(jnp.uint8)
+        # packed per-direction wavefront word: 4 random bytes in 0..15
+        wb = jax.random.randint(ks[1], (4, Hh, Ww), 0, 16)
+        wnd = (wb[0] | (wb[1] << 8) | (wb[2] << 16)
+               | (wb[3] << 24)).astype(jnp.int32)
         planes = tuple(jax.random.bits(ks[i + 2], (Hh, Ww))
                        for i in range(5)) + (
             jax.random.uniform(ks[7], (Hh, Ww)),)

@@ -143,8 +143,8 @@ def main():
 
     def cheap_wf(cfg_, allowed, is_road, enter2, hard):
         v = ((enter2.sum() + hard.astype(jnp.int32).sum()) & 0).astype(
-            jnp.uint8)
-        return jnp.full(allowed.shape, jnp.uint8(7)) | v
+            jnp.int32)
+        return jnp.full(allowed.shape, jnp.int32(engine.ND_NONE4)) | v
 
     engine.build_wavefront = cheap_wf
     timeit(cfg, worlds, "  build_wavefront -> cheap (dep-kept)")

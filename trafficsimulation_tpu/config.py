@@ -480,6 +480,12 @@ class Config:
                                      max_exits)
         if self.CAP_OVERRIDES:
             caps = dataclasses.replace(caps, **dict(self.CAP_OVERRIDES))
+        # the packed vehicle planes carry block ids in 14 bits (pd) and
+        # destination ids in 14 bits (pa) — see ops/engine.py bit layout
+        assert caps.max_blocks < 16383 and caps.max_dests < 16383, (
+            f"grid too large for the packed plane id fields "
+            f"(max_blocks={caps.max_blocks}, max_dests={caps.max_dests}, "
+            "limit 16382); raise the bit widths in ops/engine.py")
         return caps
 
     def _base_capacities(self, max_bands, max_groups, max_lights,

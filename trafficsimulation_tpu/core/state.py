@@ -151,6 +151,11 @@ class Vehicles:
     in_collision: jnp.ndarray   # bool [V]
     in_malfunction: jnp.ndarray # bool [V]
     contraflow_ticks: jnp.ndarray  # i32 [V] remaining contraflow allowance
+    contraflow_key: jnp.ndarray    # i32 [V] flow direction at excursion
+                                # start (selects the per-direction merge
+                                # wavefront byte; pd CFKEY bits)
+    contraflow_steps: jnp.ndarray  # i32 [V] contraflow cells taken this
+                                # excursion (pd CFSTEPS bits)
     detour: jnp.ndarray         # bool [V] contraflow excursion is a stuck
                                 # detour (vs overtake) — the reference's
                                 # `in_stuck_detour` gauge

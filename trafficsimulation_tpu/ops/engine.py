@@ -66,10 +66,12 @@ PC_STEPS_SH = 20        # 12 bits: steps traveled (saturating)
 # pd (u32): service FSM + contraflow excursion bookkeeping
 PD_PHASE_SH = 0         # 2 bits
 PD_TIMER_SH = 2         # 8 bits
-PD_BLOCK_SH = 10        # 16 bits (65535 = none)
+PD_BLOCK_SH = 10        # 14 bits (16383 = none)
+PD_CFKEY_SH = 24        # 2 bits: flow direction at excursion start —
+#                         selects the per-direction wavefront byte
 PD_CFMODE_SH = 26       # 1 bit: 0 = overtake, 1 = stuck detour
 PD_CFSTEPS_SH = 27      # 5 bits: contraflow cells taken this excursion
-SVC_BLOCK_NONE = 65535
+SVC_BLOCK_NONE = 16383
 
 INF_U16 = 65535         # unreachable in the fixed-point cost field
 BIG = 1 << 29
@@ -163,8 +165,8 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
     `hard`: impassable cells (stranded/parked occupants — the
     reference's strict phase-1 hard obstacles, `vehicle_base.py:280-291`).
 
-    The overtake merge wavefront lives in a SEPARATE shared [H, W] plane
-    (`build_wavefront`)."""
+    The overtake merge wavefronts live in a SEPARATE packed i32 [H, W]
+    plane (`build_wavefront`)."""
     D = Q_u16.shape[0]
     H, W = allowed.shape
     tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
@@ -228,47 +230,59 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
 
 def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
                     enter2: jnp.ndarray, hard: jnp.ndarray) -> jnp.ndarray:
-    """Shared overtake merge wavefront u8 [H, W] — the array form of the
-    reference's phase-3 contraflow splice (`vehicle_base.py:309-366`):
-    "merge cells" are the free road cells immediately downstream (along
-    the lane flow) of a hard blocker; a bounded backward wavefront
-    (<= VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS) labels each nearby cell
-    with the descent direction toward the nearest merge cell.  Bits 0-2 =
-    wavefront move direction (7 = none), bit 3 = that move is contraflow.
-    Only vehicles holding a contraflow allowance follow it (engine
-    `resolve_dir`), so opposite-lane through-traffic is unaffected."""
+    """Per-direction overtake merge wavefronts, PACKED as one i32 [H, W]
+    plane (byte d = wavefront for a vehicle whose blocked best move is
+    direction d) — the array form of the reference's phase-3 contraflow
+    splice (`vehicle_base.py:309-366`): direction-d "merge cells" are
+    the free road cells one step PAST a hard blocker ALONG d (the
+    reference's "first free cell on my path past the blocker" for paths
+    flowing through the blocker in direction d); a bounded backward
+    wavefront (<= VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS) labels each
+    nearby cell with the descent direction toward the nearest such merge
+    cell.  Byte layout: bits 0-2 = wavefront move direction (7 = none),
+    bit 3 = that move is contraflow.
+
+    Direction-indexing ties each vehicle to merge cells consistent with
+    its OWN blocked move (selected by its sdir best dir — `_pick_wnd`),
+    so a blocker on an unrelated street (e.g. the opposing lane) cannot
+    attract the excursion backward — the failure mode of the former
+    single shared plane (PARITY known-gap history).  Only vehicles
+    holding a contraflow allowance follow it, so opposite-lane
+    through-traffic is unaffected."""
     H, W = allowed.shape
     K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
     BIGW = jnp.int32(127)
     legal, _, can_mv = _entry_costs(cfg, allowed, is_road, enter2, hard)
     road_free = is_road & ~hard
 
-    # merge cells: free road cells one lane-flow step downstream of a
-    # hard cell (the "first free cell past the blocker")
-    src = jnp.zeros((H, W), bool)
-    for m in range(4):
-        src = src | nbr(hard & legal[m], C.opposite(m), False)
-    src = src & road_free
+    # direction-d merge cells: free road one step past a hard cell whose
+    # lane flows along d; all four wavefronts relax together as a
+    # stacked [4, H, W] plane (shifts run on the last two axes)
+    src = jnp.stack([nbr(hard & legal[d], C.opposite(d), False) & road_free
+                     for d in range(4)])
+    can4 = [can_mv[m][None] for m in range(4)]
     Wv = jnp.where(src, 0, BIGW)
     for _ in range(K_OVT):
         nv = Wv
         for m in range(4):
-            c = jnp.where(can_mv[m], nbr(Wv, m, BIGW), BIGW) + 1
+            c = jnp.where(can4[m], nbr(Wv, m, BIGW), BIGW) + 1
             nv = jnp.minimum(nv, c)
         Wv = jnp.minimum(nv, BIGW)
-    wbest = jnp.full((H, W), BIGW)
-    warg = jnp.full((H, W), jnp.uint8(7))
+    wbest = jnp.full((4, H, W), BIGW)
+    warg = jnp.full((4, H, W), 7, jnp.int32)
     for m in range(4):
-        c = jnp.where(can_mv[m], nbr(Wv, m, BIGW), BIGW)
+        c = jnp.where(can4[m], nbr(Wv, m, BIGW), BIGW)
         upd = c < wbest
         wbest = jnp.where(upd, c, wbest)
-        warg = jnp.where(upd, jnp.uint8(m), warg)
+        warg = jnp.where(upd, jnp.int32(m), warg)
     wvalid = (Wv <= K_OVT) & (wbest < Wv)
-    wcontra = ~(jnp.where(warg == 0, legal[0],
-                jnp.where(warg == 1, legal[1],
-                jnp.where(warg == 2, legal[2], legal[3]))))
-    return jnp.where(wvalid, warg | (wcontra.astype(jnp.uint8) << 3),
-                     jnp.uint8(7))
+    wcontra = ~(jnp.where(warg == 0, legal[0][None],
+                jnp.where(warg == 1, legal[1][None],
+                jnp.where(warg == 2, legal[2][None], legal[3][None]))))
+    byte = jnp.where(wvalid, warg | (wcontra.astype(jnp.int32) << 3),
+                     jnp.int32(7))
+    return (byte[0] | (byte[1] << 8) | (byte[2] << 16)
+            | (byte[3] << 24)).astype(jnp.int32)
 
 
 ND_NONE = 7        # no static move
@@ -323,29 +337,19 @@ def select_rows(sdir4: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     return select_dest_rows(sdir4, dest)
 
 
-def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None, wnd=None):
+def resolve_dir(nd: jnp.ndarray, head1: jnp.ndarray, allow=None, wnd=None,
+                wkey=None):
     """Per-cell move direction from the sdir byte and heading (+1).
     Returns (dir [H,W] i32 with 7 = none, contra bool).
 
-    `allow` + `wnd`: vehicles holding a contraflow allowance follow the
-    shared overtake merge wavefront plane when one exists at their cell
-    — the reference's committed splice toward the merge cell
-    (`vehicle_base.py:309-366`); everyone else descends the static
-    byte."""
-    ndi = nd.astype(jnp.int32)
-    h = jnp.maximum(head1 - 1, 0)
-    sok = ((ndi >> (4 + h)) & 1) == 1
-    sok = sok & (head1 > 0)
-    bestdir = ndi & 7
-    d = jnp.where(sok, h, bestdir)
-    contra = ~sok & ((ndi & 8) != 0)
-    if allow is not None:
-        wi = wnd.astype(jnp.int32)
-        wdir = wi & 7
-        use_w = allow & (wdir < 7)
-        d = jnp.where(use_w, wdir, d)
-        contra = (use_w & ((wi & 8) != 0)) | (~use_w & contra)
-    return d, contra
+    `allow` + `wnd` + `wkey`: vehicles holding a contraflow allowance
+    follow the overtake merge wavefront for THEIR excursion direction
+    (byte `wkey` — the pd CFKEY bits stamped at grant time — of the
+    packed `build_wavefront` word) when one exists at their cell — the
+    reference's committed splice toward the first free cell on its own
+    path past the blocker (`vehicle_base.py:309-366`); everyone else
+    descends the static byte."""
+    return pallas_engine._resolve(nd, head1, allow, wnd, wkey)
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +389,10 @@ def vehicles_to_planes(cfg: Config, v: Vehicles, H: int, W: int):
     pd_v = (_u32(v.service_phase)
             | (_u32(jnp.clip(v.service_timer, 0, 255)) << PD_TIMER_SH)
             | (_u32(sb) << PD_BLOCK_SH)
-            | (_u32(v.detour) << PD_CFMODE_SH))
+            | (_u32(jnp.clip(v.contraflow_key, 0, 3)) << PD_CFKEY_SH)
+            | (_u32(v.detour) << PD_CFMODE_SH)
+            | (_u32(jnp.clip(v.contraflow_steps, 0, 31))
+               << PD_CFSTEPS_SH))
     pe_v = _u32(jnp.arange(V))
 
     def scat(vals, dtype):
@@ -425,7 +432,7 @@ def planes_to_vehicles(cfg: Config, planes, V: int):
         return z.at[jnp.clip(slot, 0, V)].set(vals.astype(z.dtype))[:V]
 
     dest = _fld(paf, PA_DEST_SH, 14)
-    sb = _fld(pd.reshape(-1), PD_BLOCK_SH, 16)
+    sb = _fld(pd.reshape(-1), PD_BLOCK_SH, 14)
     return Vehicles(
         active=put(present, zb),
         pos=put(cell, ni),
@@ -440,6 +447,8 @@ def planes_to_vehicles(cfg: Config, planes, V: int):
         in_collision=put(_bit(paf, PA_COL_SH), zb),
         in_malfunction=put(_bit(paf, PA_MAL_SH), zb),
         contraflow_ticks=put(_fld(pb.reshape(-1), PB_CONTRA_SH, 8), zi),
+        contraflow_key=put(_fld(pd.reshape(-1), PD_CFKEY_SH, 2), zi),
+        contraflow_steps=put(_fld(pd.reshape(-1), PD_CFSTEPS_SH, 5), zi),
         detour=put(_bit(pd.reshape(-1), PD_CFMODE_SH), zb),
         kind=put(_fld(paf, PA_KIND_SH, 2), jnp.zeros((V + 1,), jnp.uint8)),
         depart_time=put(_fld(pc.reshape(-1), PC_DEPART_SH, 20).astype(
@@ -547,9 +556,9 @@ def tick_randoms(cfg: Config, key, H: int, W: int):
 
 def routing_planes(cfg: Config, world, es: EngineState):
     """Build the per-destination next-move planes (`build_sdir`) plus
-    the shared overtake wavefront (`build_wavefront`) from the CURRENT
-    dynamic state (density, stops, stranded vehicles).  Returns
-    (sdir u8 [D, H, W], wnd u8 [H, W]).
+    the per-direction overtake wavefronts (`build_wavefront`) from the
+    CURRENT dynamic state (density, stops, stranded vehicles).  Returns
+    (sdir4 i32 [D/4, H, W], wnd i32 [H, W] packed, density).
 
     Called once per PATHFINDING_COOLDOWN ticks (`run_chunk`), not per
     tick: the reference replans a vehicle's path at most every
@@ -806,7 +815,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     if "service" in _POST_SKIP:
         is_svc = is_svc & False
     phase_d = _fld(pd_d, PD_PHASE_SH, 2)
-    sb_raw = _fld(pd_d, PD_BLOCK_SH, 16)
+    sb_raw = _fld(pd_d, PD_BLOCK_SH, 14)
     sb = jnp.clip(jnp.where(sb_raw == SVC_BLOCK_NONE, 0, sb_raw), 0, B - 1)
 
     # arrive at block -> park + transfer + timer (`_start_service`)

@@ -53,6 +53,7 @@ PC_STEPS_SH = 20
 PD_PHASE_SH = 0
 PD_TIMER_SH = 2
 PD_BLOCK_SH = 10
+PD_CFKEY_SH = 24
 PD_CFMODE_SH = 26
 PD_CFSTEPS_SH = 27
 KEY_INF = 0xFFFFFFFF
@@ -74,9 +75,19 @@ def _fld(p, sh, bits):
     return ((p >> sh) & ((1 << bits) - 1)).astype(jnp.int32)
 
 
-def _resolve(nd, head1, allow=None, wnd=None):
+def _wnd_byte(wnd4, key):
+    """Per-cell wavefront byte for excursion-key direction `key` (byte
+    key of the packed word, engine.build_wavefront).  Dynamic per-cell
+    shift amounts lower fine on Mosaic (NOTES.md)."""
+    return (wnd4 >> (key * 8)) & 0xFF
+
+
+def _resolve(nd, head1, allow=None, wnd=None, wkey=None):
     """resolve_dir (see ops.engine.resolve_dir).  Bool selects are
-    written as logical ops: Mosaic lacks i8->i1 select/trunc lowerings."""
+    written as logical ops: Mosaic lacks i8->i1 select/trunc lowerings.
+    `wnd`: the PACKED per-direction wavefront word plane; `wkey`: the
+    vehicle's stored excursion direction (pd CFKEY bits) selecting its
+    byte."""
     ndi = nd.astype(jnp.int32)
     h = jnp.maximum(head1 - 1, 0)
     sok = ((ndi >> (4 + h)) & 1) == 1
@@ -84,7 +95,7 @@ def _resolve(nd, head1, allow=None, wnd=None):
     d = jnp.where(sok, h, ndi & 7)
     contra = ~sok & ((ndi & 8) != 0)
     if allow is not None:
-        wi = wnd.astype(jnp.int32)
+        wi = _wnd_byte(wnd, wkey)
         wdir = wi & 7
         use_w = allow & (wdir < 7)
         d = jnp.where(use_w, wdir, d)
@@ -181,9 +192,11 @@ def decide_move_core(cfg: Config, shift, select, wnd,
 
     # contraflow ladder (`vehicle_base.py:309-419`)
     ct = jnp.maximum(_fld(pb, PB_CONTRA_SH, 8) - 1, 0)
-    CF_CLEAR = ~jnp.uint32(0x3F << PD_CFMODE_SH)
-    # overtake merge-back completion (`vehicle_base.py:219-277`)
-    wdir0 = wnd.astype(jnp.int32) & 7
+    CF_CLEAR = ~jnp.uint32(0xFF << PD_CFKEY_SH)
+    # overtake merge-back completion (`vehicle_base.py:219-277`): the
+    # wavefront byte for MY excursion direction no longer offers a move
+    wkey0 = _fld(pd, PD_CFKEY_SH, 2)
+    wdir0 = _wnd_byte(wnd.astype(jnp.int32), wkey0) & 7
     merged = present & (ct > 0) & ~_bit(pd, PD_CFMODE_SH) & \
         (wdir0 == 7) & (dir0 < 7) & ~contra0
     ct = jnp.where(merged, 0, ct)
@@ -203,9 +216,16 @@ def decide_move_core(cfg: Config, shift, select, wnd,
                    jnp.where(stuck_detour,
                              cfg.VEHICLE_CONTRAFLOW_STUCK_DETOUR_DURATION,
                              cfg.VEHICLE_CONTRAFLOW_OVERTAKE_DURATION), ct)
+    # excursion key = the flow direction the vehicle was traveling when
+    # it got blocked (the reference's "my path past MY blocker",
+    # `vehicle_base.py:309-366`): heading if known, else the static best
+    key_new = jnp.where(head1 > 0, head1 - 1,
+                        jnp.where(dir0 < 4, dir0, 0)).astype(jnp.int32)
     pd = jnp.where(newly,
                    (pd & CF_CLEAR)
+                   | (_u32(key_new) << PD_CFKEY_SH)
                    | (_u32(stuck_detour) << PD_CFMODE_SH), pd)
+    wkey_dec = _fld(pd, PD_CFKEY_SH, 2)   # key the first sub-round sees
 
     # write decided per-vehicle state back into the planes
     CLEAR_A = ~jnp.uint32((15 << PA_BASE_SH) | (15 << PA_CUR_SH)
@@ -240,7 +260,8 @@ def decide_move_core(cfg: Config, shift, select, wnd,
                            cfg.VEHICLE_MAX_CONTRAFLOW_STUCK_DETOUR_STEPS,
                            cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS)
         allow = (_fld(pb, PB_CONTRA_SH, 8) > 0) & (csteps < climit)
-        dir_, contra = _resolve(nd, h1, allow, wnd)
+        dir_, contra = _resolve(nd, h1, allow, wnd,
+                                _fld(pd, PD_CFKEY_SH, 2))
         can_dir = (dir_ < 7) & (~contra | allow)
         want = present_c & (halt_latch == 0) & (steps_left > 0) & ~at_dest_c
 
@@ -323,7 +344,8 @@ def decide_move_core(cfg: Config, shift, select, wnd,
     # `vehicle_base.py:656-659`): the first move was impossible given
     # start-of-tick state (not merely lost to a conflict)
     bb0 = stop_map | occ0 | ped_block
-    dir0r, contra0r = _resolve(nd0, head1, present & (ct > 0), wnd)
+    dir0r, contra0r = _resolve(nd0, head1, present & (ct > 0), wnd,
+                               wkey_dec)
     tgt_blocked0 = jnp.zeros((H, W), bool)
     for m in range(4):
         tgt_blocked0 = tgt_blocked0 | ((dir0r == m)
@@ -474,7 +496,7 @@ def decide_move_tiled(cfg: Config, sdir4, wnd, planes, stop_map, rain_map,
             :, ty * th:ty * th + th + 2 * P,
             tx * tw:tx * tw + tw + 2 * P]
             for ty in range(nty) for tx in range(ntx)]),
-        windows(wnd, 7, i32),
+        windows(wnd, ND_NONE4, None),   # packed wavefront: every byte 7
         windows(pa, 0), windows(pb, 0), windows(pc, 0),
         windows(pd, 0), windows(pe, 0), windows(pl_, 0.0),
         windows(stop_map, 1, i32), windows(rain_map, 0, i32),
@@ -755,6 +777,6 @@ def decide_move_pallas(cfg: Config, sdir4, wnd, planes, stop_map, rain_map,
         in_specs=[spec] * n_in,
         out_specs=(spec,) * 7,
         interpret=interpret, **kw,
-    )(sdir4, i32(wnd), pa, pb, pc, pd, pe, pl_,
+    )(sdir4, wnd.astype(jnp.int32), pa, pb, pc, pd, pe, pl_,
       i32(stop_map), i32(rain_map), i32(ped_block), i32(intersection),
       dest_id, r_mal, r_side, r_reroll, r_prio)

@@ -50,7 +50,8 @@ def init_vehicles(V: int) -> Vehicles:
         dest=jnp.full((V,), -1, jnp.int32),
         base_speed=zi, current_speed=zi, stuck_ticks=zi, is_stuck=zb,
         stranded_ticks=zi, parked=zb, in_collision=zb, in_malfunction=zb,
-        contraflow_ticks=zi, detour=zb, kind=jnp.zeros((V,), jnp.uint8),
+        contraflow_ticks=zi, contraflow_key=zi, contraflow_steps=zi,
+        detour=zb, kind=jnp.zeros((V,), jnp.uint8),
         depart_time=zf, steps_traveled=zi,
         service_phase=jnp.zeros((V,), jnp.uint8), load=zf,
         service_timer=zi, service_block=jnp.full((V,), -1, jnp.int32))
@@ -551,6 +552,32 @@ def _pow2(n: int, lo: int = 8) -> int:
     if n <= 256:
         return 1 << (n - 1).bit_length()
     return ((n + 63) // 64) * 64
+
+
+def assert_world_fits(cfg: Config, world: World) -> None:
+    """Host-side guard for shrunk capacities (VERDICT r2 weak #9):
+    `measure_and_shrink` caps are measured from ONE world — generating a
+    DIFFERENT world (another seed) under the shrunk config silently
+    truncates any table that saturates.  Call this after generating
+    worlds under a non-default-cap config (e.g. a vmapped seed sweep);
+    raises AssertionError when a padded table is completely full, the
+    signature of truncation (an exact fit is indistinguishable and also
+    flagged — raise the cap by one to clear it).  Accepts a single world
+    or a batch (leading dim) of worlds."""
+    import numpy as np
+    sat = []
+    for name, arr in (("max_lights", world.lights_static.valid),
+                      ("max_groups", world.groups_static.valid),
+                      ("max_blocks", world.blocks_static.valid),
+                      ("max_dests", world.dests.valid),
+                      ("max_exits", world.dests.hw_valid)):
+        a = np.asarray(arr)
+        if a.reshape(-1, a.shape[-1]).all(axis=-1).any():
+            sat.append(name)
+    assert not sat, (
+        f"capacity table(s) saturated for this world: {sat} — the config's "
+        "CAP_OVERRIDES (measure_and_shrink output?) are too small for this "
+        "seed; regenerate with default caps or re-measure per world")
 
 
 def measure_and_shrink(cfg: Config, world: World):
