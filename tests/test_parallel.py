@@ -113,3 +113,28 @@ def test_mesh_helpers():
     fm = fleet_metrics(worlds)
     assert int(worlds.tick[0]) == 3
     assert int(fm["created"]) >= 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatial_sharding_matches_unsharded():
+    """One world partitioned along H across the mesh (SURVEY §2.3
+    spatial sharding — the grid-CA context-parallel analogue): the SPMD
+    partitioner's halo exchanges must reproduce the unsharded step
+    bit-for-bit on every integer plane."""
+    from trafficsimulation_tpu.parallel.spatial import (
+        spatial_mesh, shard_world, spatial_chunk_fn)
+    cfg, w0, _ = _setup()
+    n = 4
+
+    wr = spatial_chunk_fn(cfg, n)(w0)          # unsharded, same chunk fn
+
+    mesh = spatial_mesh(8)
+    ws = spatial_chunk_fn(cfg, n)(shard_world(w0, mesh))
+
+    assert (np.asarray(ws.veh_map) == np.asarray(wr.veh_map)).all()
+    assert (np.asarray(ws.stop_map) == np.asarray(wr.stop_map)).all()
+    assert (np.asarray(ws.vehicles.pos) == np.asarray(wr.vehicles.pos)).all()
+    assert int(ws.metrics.created_internal) == int(
+        wr.metrics.created_internal)
+    # the planes really are distributed: >1 addressable shard
+    assert len(ws.veh_map.sharding.device_set) == 8

@@ -35,6 +35,11 @@ def run_group(cfg: Config, n_worlds: int, ticks: int, seed: int,
         mesh = make_mesh(n_dev)
     worlds = init_world_batch(cfg, jax.random.PRNGKey(seed), n_worlds, mesh)
     worlds = jax.block_until_ready(worlds)
+    # shrunk CAP_OVERRIDES are measured from ONE world; a different seed
+    # can overflow a padded table silently (VERDICT r2 weak #9)
+    if cfg.CAP_OVERRIDES:
+        from trafficsimulation_tpu.sim import assert_world_fits
+        assert_world_fits(cfg, worlds)
     roll = jax.jit(functools.partial(run_batch, cfg, n_ticks=ticks))
     worlds = jax.block_until_ready(roll(worlds))   # compile + warm
     t0 = time.perf_counter()
