@@ -253,3 +253,59 @@ def test_backward_scan_leads_to_merge_geometry():
     assert loc[yu, xc - 4] >= 0
     # and so is the side-shift cell itself (same_type + leads_to hold)
     assert qg[yu, xc - 3] >= 0
+
+
+def test_blocks_all_lanes_band_predicate():
+    """`_blocks_all_lanes_planes` == a literal transcription of the
+    reference predicate (`intersection_light_group.py:185-202`) on a
+    crafted band layout with a multi-lane vertical band, a single-lane
+    vertical road, and both kinds of horizontal bands — including an
+    OPTIMIZED-intersection partial crossing (inter covers only part of
+    the band width), which must NOT block."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trafficsimulation_tpu.gen.bands import Bands
+    from trafficsimulation_tpu.gen.lights import _blocks_all_lanes_planes
+
+    H = W = 16
+
+    def mk(intervals, n):
+        starts = [a for a, b in intervals] + [0] * (4 - len(intervals))
+        ends = [b for a, b in intervals] + [0] * (4 - len(intervals))
+        valid = [True] * len(intervals) + [False] * (4 - len(intervals))
+        return Bands(start=jnp.array(starts, jnp.int32),
+                     end=jnp.array(ends, jnp.int32),
+                     rclass=jnp.zeros(4, jnp.int32),
+                     dir=jnp.zeros(4, jnp.int32),
+                     valid=jnp.array(valid))
+
+    vbands = mk([(3, 5), (10, 10)], W)     # multi-lane x3-5, single x10
+    hbands = mk([(7, 8), (12, 12)], H)     # multi-lane y7-8, single y12
+    rng = np.random.default_rng(1)
+    inter = rng.random((H, W)) < 0.35      # arbitrary intersection mask
+
+    bv, bh = _blocks_all_lanes_planes(jnp.asarray(inter), hbands, vbands)
+    bv, bh = np.asarray(bv), np.asarray(bh)
+
+    def band_or_single(i, ivals):
+        for a, b in ivals:
+            if a <= i <= b:
+                return a, b
+        return i, i
+
+    for y in range(H):
+        for x in range(W):
+            vx0, vx1 = band_or_single(x, [(3, 5), (10, 10)])
+            hy0, hy1 = band_or_single(y, [(7, 8), (12, 12)])
+            # vertical (N/S) walk — reference lines 190-196
+            if vx1 != vx0:
+                exp_v = all(inter[y, xx] for xx in range(vx0, vx1 + 1))
+            else:
+                exp_v = inter[y, vx0] and (hy1 != hy0 or inter[hy0, x])
+            # horizontal walk — reference lines 198-202
+            if hy1 != hy0:
+                exp_h = all(inter[yy, x] for yy in range(hy0, hy1 + 1))
+            else:
+                exp_h = inter[hy0, x] and (vx1 != vx0 or inter[y, vx0])
+            assert bv[y, x] == exp_v, ("v", y, x)
+            assert bh[y, x] == exp_h, ("h", y, x)

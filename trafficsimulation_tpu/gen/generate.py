@@ -81,7 +81,8 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     allowed = add_entrance_directions(cell, allowed)
 
     # ---- lights & groups --------------------------------------------------
-    lg = build_lights_and_groups(cfg, caps, cell, allowed)
+    lg = build_lights_and_groups(cfg, caps, cell, allowed,
+                                 hbands=hbands, vbands=vbands)
     cell = lg["cell_type"]
 
     # ---- destination set: block entrances, highway exits, then block

@@ -105,8 +105,70 @@ def run_decompose(lab: jnp.ndarray):
     return run_end, lo, hi
 
 
+def _band_bounds(bands, n: int):
+    """Per-coordinate band interval: (lo, hi) arrays [n] with -1 where no
+    band covers the coordinate (the reference's `_find_band_covering` /
+    `_band_or_single` fallback, `intersection_light_group.py:179-181`)."""
+    coords = jnp.arange(n, dtype=jnp.int32)
+    cover = bands.valid[:, None] & (bands.start[:, None] <= coords) \
+        & (coords <= bands.end[:, None])
+    lo = jnp.max(jnp.where(cover, bands.start[:, None], -1), axis=0)
+    hi = jnp.max(jnp.where(cover, bands.end[:, None], -1), axis=0)
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
+def _blocks_all_lanes_planes(inter, hbands, vbands):
+    """`blocks_all_lanes(ix, iy, d)` (`intersection_light_group.py:185-202`)
+    as two per-cell planes — the predicate depends only on the HIT cell
+    and the walk axis, never on the walker:
+
+      blocks_v[y, x]: a vertical (N/S) ray stopping at (x, y) treats
+        that group as a full neighbor iff the hit cell's VERTICAL road
+        band is intersection across its whole width at row y (multi-lane
+        band), or — single lane — the cell itself is intersection and
+        the crossing horizontal band is multi-lane or intersects at its
+        first row.
+      blocks_h[y, x]: the E/W mirror.
+    """
+    H, W = inter.shape
+    ii = inter.astype(jnp.int32)
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    vlo, vhi = _band_bounds(vbands, W)          # vertical bands over x
+    hlo, hhi = _band_bounds(hbands, H)          # horizontal bands over y
+    vx0 = jnp.where(vlo >= 0, vlo, jnp.arange(W))[None, :]
+    vx1 = jnp.where(vhi >= 0, vhi, jnp.arange(W))[None, :]
+    hy0 = jnp.where(hlo >= 0, hlo, jnp.arange(H))[:, None]
+    hy1 = jnp.where(hhi >= 0, hhi, jnp.arange(H))[:, None]
+    multi_v = vx1 > vx0
+    multi_h = hy1 > hy0
+
+    # exclusive prefixes of intersections along rows and columns
+    Pr = jnp.pad(jnp.cumsum(ii, axis=1), ((0, 0), (1, 0)))   # [H, W+1]
+    Pc = jnp.pad(jnp.cumsum(ii, axis=0), ((1, 0), (0, 0)))   # [H+1, W]
+
+    vx0b = jnp.broadcast_to(vx0, (H, W))
+    vx1b = jnp.broadcast_to(vx1, (H, W))
+    hy0b = jnp.broadcast_to(hy0, (H, W))
+    hy1b = jnp.broadcast_to(hy1, (H, W))
+    cov_v = (jnp.take_along_axis(Pr, vx1b + 1, axis=1)
+             - jnp.take_along_axis(Pr, vx0b, axis=1)) == (vx1b - vx0b + 1)
+    cov_h = (jnp.take_along_axis(Pc, hy1b + 1, axis=0)
+             - jnp.take_along_axis(Pc, hy0b, axis=0)) == (hy1b - hy0b + 1)
+    inter_vx0 = jnp.take_along_axis(inter, vx0b, axis=1)     # (vx0, y)
+    inter_hy0 = jnp.take_along_axis(inter, hy0b, axis=0)     # (x, hy0)
+
+    blocks_v = jnp.where(multi_v, cov_v,
+                         inter_vx0 & (multi_h | inter_hy0))
+    blocks_h = jnp.where(multi_h, cov_h,
+                         inter_hy0 & (multi_v | inter_vx0))
+    return blocks_v, blocks_h
+
+
 def build_lights_and_groups(cfg: Config, caps: Capacities,
-                            cell: jnp.ndarray, allowed: jnp.ndarray):
+                            cell: jnp.ndarray, allowed: jnp.ndarray,
+                            hbands=None, vbands=None):
     H, W = cell.shape
     HW = H * W
     ys = jnp.arange(H, dtype=jnp.int32)[:, None] * jnp.ones((1, W), jnp.int32)
@@ -460,36 +522,47 @@ def build_lights_and_groups(cfg: Config, caps: Capacities,
     intermediates = jnp.full((G, M_INTER), -1, jnp.int32)
     max_walk = max(H, W)
     gids = jnp.arange(G, dtype=jnp.int32)
-    # perpendicular bbox extent per axis: a hit group "blocks all lanes"
-    # of the walker's corridor when its extent across the walk direction
-    # is at least the walker group's (`blocks_all_lanes`
-    # `intersection_light_group.py:185-202`, band test re-expressed with
-    # group bounding boxes); smaller crossings become intermediates.
+    # a hit group "blocks all lanes" per the reference band predicate
+    # (`blocks_all_lanes` `intersection_light_group.py:185-202`),
+    # evaluated once as two per-cell planes (it depends only on the hit
+    # cell and the walk axis); callers without band tables (synthetic
+    # worlds) fall back to the round-2 bbox-extent approximation.
+    # Smaller crossings become intermediates.
+    if hbands is not None and vbands is not None:
+        blocks_v, blocks_h = _blocks_all_lanes_planes(inter, hbands, vbands)
+    else:
+        blocks_v = blocks_h = None
     ext_x = gmaxx - gminx + 1
     ext_y = gmaxy - gminy + 1
     for d in range(4):
         my_ext = ext_x if d in (C.N_IDX, C.S_IDX) else ext_y
         nb_ext = ext_x if d in (C.N_IDX, C.S_IDX) else ext_y
+        bplane = blocks_v if d in (C.N_IDX, C.S_IDX) else blocks_h
 
-        def walk(s, st):
-            found, inter, icnt, last = st
+        def walk(s, st, bplane=bplane, d=d, my_ext=my_ext, nb_ext=nb_ext):
+            found, inters, icnt, last = st
             py = ccy + (s + 1) * int(C.DIR_DY[d])
             px = ccx + (s + 1) * int(C.DIR_DX[d])
             inb = (py >= 0) & (py < H) & (px >= 0) & (px < W)
-            g = gp2[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+            pyc = jnp.clip(py, 0, H - 1)
+            pxc = jnp.clip(px, 0, W - 1)
+            g = gp2[pyc, pxc]
             fresh = inb & (g >= 0) & (g != gids) & (g != last) & (found < 0)
-            gs = jnp.clip(g, 0, G - 1)
-            blocks = nb_ext[gs] >= my_ext
+            if bplane is not None:
+                blocks = bplane[pyc, pxc]
+            else:
+                gs = jnp.clip(g, 0, G - 1)
+                blocks = nb_ext[gs] >= my_ext
             hit = fresh & blocks
             found = jnp.where(hit, g, found)
             # record a passed-over (non-blocking) group as intermediate
             put = fresh & ~blocks & (icnt < M_INTER)
             slot = jnp.clip(icnt, 0, M_INTER - 1)
-            inter = inter.at[gids, slot].set(
-                jnp.where(put, g, inter[gids, slot]))
+            inters = inters.at[gids, slot].set(
+                jnp.where(put, g, inters[gids, slot]))
             icnt = icnt + put.astype(jnp.int32)
             last = jnp.where(inb & (g >= 0), g, last)
-            return found, inter, icnt, last
+            return found, inters, icnt, last
 
         found, inter_d, _, _ = jax.lax.fori_loop(
             0, max_walk, walk,
