@@ -309,3 +309,84 @@ def test_blocks_all_lanes_band_predicate():
                 exp_h = inter[hy0, x] and (vx1 != vx0 or inter[y, vx0])
             assert bv[y, x] == exp_v, ("v", y, x)
             assert bh[y, x] == exp_h, ("h", y, x)
+
+
+def test_entrance_is_sorted_run_midpoint(small_cfg, small_city):
+    """Stage-8 exactness (`city_model.py:884-963`): every placed
+    entrance is the middle cell of the (x, y)-sorted longest
+    road-touching perimeter run of its block — checked by an independent
+    numpy oracle over the generated world.  Blocks whose longest run is
+    tied are skipped (the tie is broken randomly, like the reference's
+    `random.choice`) — the chosen run must still be one of the tied."""
+    import numpy as np
+    from trafficsimulation_tpu import codes as C
+
+    grid, ls, gs, bs, dests, field = small_city
+    cell = np.asarray(grid.cell_type)
+    orig = np.asarray(grid.orig_type)
+    bid = np.asarray(grid.block_id)
+    H, W = cell.shape
+    ent = np.asarray(bs.entrance)
+    bvalid = np.asarray(bs.valid)
+
+    # entrance cells were SIDEWALK before placement; recover the
+    # candidate predicate from the pre-light planes (orig_type keeps the
+    # pre-controlled-road raster; entrances/lights overwrote cells, so
+    # treat them as their pre-placement type)
+    road_codes = {C.R1, C.R2, C.R3, C.INTERSECTION, C.HIGHWAY_ENTRANCE,
+                  C.CONTROLLED_ROAD}
+
+    def is_roadlike(y, x):
+        t = orig[y, x]
+        return t in road_codes or cell[y, x] in road_codes
+
+    checked = 0
+    for b in range(len(ent)):
+        if not bvalid[b] or ent[b] < 0:
+            continue
+        ey, ex = divmod(int(ent[b]), W)
+        # ring of block b: non-block cells 4-adjacent to it that were
+        # sidewalk-class and touch a road
+        ring = set()
+        for y in range(H):
+            for x in range(W):
+                if bid[y, x] != b:
+                    continue
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = y + dy, x + dx
+                    if not (0 <= ny < H and 0 <= nx < W):
+                        continue
+                    if bid[ny, nx] == b:
+                        continue
+                    t = cell[ny, nx]
+                    if t == C.SIDEWALK or (ny, nx) == (ey, ex):
+                        touches = any(
+                            0 <= ny + ddy < H and 0 <= nx + ddx < W
+                            and is_roadlike(ny + ddy, nx + ddx)
+                            for ddy, ddx in ((1, 0), (-1, 0), (0, 1),
+                                             (0, -1)))
+                        if touches:
+                            ring.add((nx, ny))
+        if not ring:
+            continue
+        # decompose into 4-connected runs
+        todo = set(ring)
+        runs = []
+        while todo:
+            start = todo.pop()
+            stack, run = [start], [start]
+            while stack:
+                x, y = stack.pop()
+                for nx, ny in ((x + 1, y), (x - 1, y), (x, y + 1),
+                               (x, y - 1)):
+                    if (nx, ny) in todo:
+                        todo.remove((nx, ny))
+                        stack.append((nx, ny))
+                        run.append((nx, ny))
+            runs.append(run)
+        mx = max(len(r) for r in runs)
+        longest = [r for r in runs if len(r) == mx]
+        mids = {sorted(r)[len(r) // 2] for r in longest}
+        assert (ex, ey) in mids, (b, (ex, ey), mids)
+        checked += 1
+    assert checked >= 3, f"oracle only checked {checked} blocks"

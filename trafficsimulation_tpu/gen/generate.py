@@ -50,7 +50,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     caps = cfg.capacities()
     H, W = cfg.HEIGHT, cfg.WIDTH
     HW = H * W
-    kh, kv, khm, kvm, kz = jax.random.split(key, 5)
+    kh, kv, khm, kvm, kz, kent = jax.random.split(key, 6)
 
     # ---- road bands -------------------------------------------------------
     hbands = sample_axis_bands(kh, cfg, cfg.interior_y_min,
@@ -76,7 +76,7 @@ def generate_city(cfg: Config, key: jnp.ndarray):
     cell, allowed, _up = upgrade_r2_to_intersections(
         cfg, cell, allowed, ras["horiz_band"], ras["ring_corner"])
     cell, allowed, entrance_flat = place_entrances(
-        cfg, cell, allowed, block_ids, btype, caps.max_blocks)
+        cfg, cell, allowed, block_ids, btype, caps.max_blocks, key=kent)
     allowed = prune_intersection_dirs(cell, allowed)
     allowed = add_entrance_directions(cell, allowed)
 

@@ -12,11 +12,10 @@ Parity notes (conscious divergences, see README):
 * dead-end elimination runs as a *parallel* fixpoint; the result is the
   unique 2-core of the road graph, identical to the reference's
   sequential sweeps.
-* the entrance is placed at the bbox-midpoint of the longest perimeter
-  run (equal to the reference's sorted-run midpoint for straight runs;
-  L-shaped runs, which are rare, may differ by a cell).
-* ties between equally long runs pick the smallest root instead of a
-  `random.choice` (`city_model.py:943`).
+* the entrance is the middle cell of the (x, y)-ordered longest run —
+  exactly the reference's sorted-run midpoint for straight AND
+  L-shaped runs; ties between equally long runs pick PRNG-randomly
+  like the reference's `random.choice` (different random stream).
 """
 
 from __future__ import annotations
@@ -29,6 +28,13 @@ from ..config import Config
 from ..ops.labels import (connected_components, connected_components_keyed,
                           compact_labels)
 from .raster import _shift_from
+
+
+def _hash32(x):
+    """Murmur3-style avalanche (see ops.engine._hash32)."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
 
 
 def _seg_min(vals, seg, num, init):
@@ -154,9 +160,14 @@ def prune_intersection_dirs(cell, allowed):
 
 
 def place_entrances(cfg: Config, cell, allowed, block_ids, btype,
-                    max_blocks: int):
+                    max_blocks: int, key=None):
     """One BlockEntrance per typed block at the midpoint of its longest
-    road-touching perimeter run (`city_model.py:884-963`).
+    road-touching perimeter run (`city_model.py:884-963`): cells of the
+    chosen run are ordered by (x, y) — which reproduces the reference's
+    per-shape sort (by x for horizontal runs, by y for vertical, (x, y)
+    for mixed/L-shaped) — and the entrance is the middle cell.  Ties
+    between equally long runs pick PRNG-randomly (`random.choice`,
+    `city_model.py:944`) when `key` is given, else the smallest root.
 
     Returns (cell, allowed, entrance_flat [B] i32)."""
     H, W = cell.shape
@@ -207,39 +218,43 @@ def place_entrances(cfg: Config, cell, allowed, block_ids, btype,
     run_len_tab = _seg_sum(jnp.where(flat_runs >= 0, ones, 0), rseg, HW + 1)
     xs = jnp.arange(HW, dtype=jnp.int32) % W
     ys = jnp.arange(HW, dtype=jnp.int32) // W
-    run_minx = _seg_min(jnp.where(flat_runs >= 0, xs, 2**30), rseg, HW + 1,
-                        jnp.int32(2**30))
-    run_maxx = _seg_max(jnp.where(flat_runs >= 0, xs, -1), rseg, HW + 1,
-                        jnp.int32(-1))
-    run_miny = _seg_min(jnp.where(flat_runs >= 0, ys, 2**30), rseg, HW + 1,
-                        jnp.int32(2**30))
-    run_maxy = _seg_max(jnp.where(flat_runs >= 0, ys, -1), rseg, HW + 1,
-                        jnp.int32(-1))
-
     cand_flat = cand.reshape(-1)
     my_run = jnp.clip(flat_runs, 0, HW)
     my_len = jnp.where(cand_flat, run_len_tab[my_run], 0)
     bseg = jnp.where(cand_flat, ring_block.reshape(-1), max_blocks)
     bseg = jnp.clip(bseg, 0, max_blocks)
 
-    # best run per block: longest, then smallest root
+    # best run per block: longest, tie-broken randomly (hash of root +
+    # per-world salt = `random.choice(longest_runs)`) or by smallest root
+    big = jnp.int32(2**30)
     best_len = _seg_max(my_len, bseg, max_blocks + 1, jnp.int32(0))
     is_best_len = cand_flat & (my_len == best_len[bseg]) & (my_len > 0)
-    best_root = _seg_min(jnp.where(is_best_len, flat_runs, 2**30), bseg,
-                         max_blocks + 1, jnp.int32(2**30))
-    in_best = cand_flat & (flat_runs == best_root[bseg]) & \
-              (best_root[bseg] < 2**30)
+    if key is not None:
+        salt = jax.random.bits(key, (), jnp.uint32)
+        tiekey = (_hash32(flat_runs.astype(jnp.uint32) ^ salt)
+                  >> 1).astype(jnp.int32)
+    else:
+        tiekey = flat_runs
+    best_tk = _seg_min(jnp.where(is_best_len, tiekey, big), bseg,
+                       max_blocks + 1, big)
+    in_best = is_best_len & (tiekey == best_tk[bseg]) & \
+        (best_tk[bseg] < big)
 
-    # midpoint target of the best run (sorted-run midpoint for straight runs)
-    tx = run_minx[my_run] + (run_maxx[my_run] - run_minx[my_run] + 1) // 2
-    ty = run_miny[my_run] + (run_maxy[my_run] - run_miny[my_run] + 1) // 2
-    dist = jnp.abs(xs - tx) + jnp.abs(ys - ty)
-    big = jnp.int32(2**30)
-    min_dist = _seg_min(jnp.where(in_best, dist, big), bseg,
-                        max_blocks + 1, big)
-    at_min = in_best & (dist == min_dist[bseg])
+    # middle cell of the (x, y)-ordered run: rank every candidate within
+    # its run by one global argsort over (run, x, y), then pick
+    # rank == len // 2 (`run[len(run) // 2]`, `city_model.py:956`)
+    runkey = jnp.where(cand_flat, my_run, HW).astype(jnp.int32)
+    localkey = (xs * H + ys).astype(jnp.int32)
+    _, _, order = jax.lax.sort(
+        (runkey, localkey, jnp.arange(HW, dtype=jnp.int32)), num_keys=2)
+    rank = jnp.zeros((HW,), jnp.int32).at[order].set(
+        jnp.arange(HW, dtype=jnp.int32))
+    run_rank0 = _seg_min(jnp.where(cand_flat, rank, big), rseg, HW + 1,
+                         big)
+    pos = rank - run_rank0[my_run]
+    at_mid = in_best & (pos == my_len // 2)
     entrance_flat = _seg_min(
-        jnp.where(at_min, jnp.arange(HW, dtype=jnp.int32), big), bseg,
+        jnp.where(at_mid, jnp.arange(HW, dtype=jnp.int32), big), bseg,
         max_blocks + 1, big)[:max_blocks]
     entrance_flat = jnp.where(entrance_flat >= big, -1, entrance_flat)
 
