@@ -111,3 +111,28 @@ def test_assert_world_fits_flags_saturated_caps(small_cfg, small_world):
         valid=jax.numpy.ones_like(world2.lights_static.valid)))
     with pytest.raises(AssertionError, match="saturated"):
         assert_world_fits(cfg2, bad)
+
+
+def test_dummy_overlay_flags_inconsistency(small_cfg, small_world):
+    """USE_DUMMY_AGENTS (reference DummyAgent, `dummy.py:9-28`): the
+    render overlay paints magenta exactly where veh_map and the vehicle
+    pool disagree — nothing on a consistent world."""
+    import jax.numpy as jnp
+    import numpy as np
+    from trafficsimulation_tpu.ops.render import render_frame
+
+    w = small_world
+
+    def frame(vm, overlay):
+        return np.asarray(render_frame(
+            w.grid, w.stop_map, w.rain_map, vm, w.vehicles,
+            dummy_overlay=overlay))
+
+    # consistent world: the overlay changes nothing
+    assert (frame(w.veh_map, True) == frame(w.veh_map, False)).all()
+
+    # corrupt: veh_map points at slot 0, which is inactive — exactly
+    # that cell gets repainted
+    bad_map = w.veh_map.reshape(-1).at[100].set(0).reshape(w.veh_map.shape)
+    diff = (frame(bad_map, True) != frame(bad_map, False)).any(axis=-1)
+    assert diff.sum() == 1 and diff.reshape(-1)[100]

@@ -22,10 +22,17 @@ from .. import codes as C
 
 
 def render_frame(grid, stop_map, rain_map, veh_map, vehicles,
-                 pending_mask=None, level: int = 2) -> jnp.ndarray:
+                 pending_mask=None, level: int = 2,
+                 dummy_overlay: bool = False) -> jnp.ndarray:
     """Returns u8 [H, W, 3].  `level` follows the reference's
     AGENT_PORTRAYAL_LEVEL (`cell.py:259-344`): 0 = static palette only,
-    >=1 adds dynamic recolors and vehicle overlays."""
+    >=1 adds dynamic recolors and vehicle overlays.
+
+    `dummy_overlay` (cfg.USE_DUMMY_AGENTS): the reference's DummyAgent
+    (`dummy.py:9-28`) exists to make vehicle/cell inconsistencies
+    VISIBLE — here any cell where the occupancy map and the vehicle pool
+    disagree (veh_map points at an inactive/mispositioned slot) is
+    painted magenta.  A consistent world shows nothing."""
     H, W = grid.cell_type.shape
     palette = jnp.asarray(C.PALETTE)
     fb = palette[grid.cell_type.astype(jnp.int32)]          # [H, W, 3]
@@ -67,4 +74,11 @@ def render_frame(grid, stop_map, rain_map, veh_map, vehicles,
     color = jnp.where(v.in_collision[:, None],
                       jnp.asarray(C.COLOR_VEHICLE_COLLISION), color)
     fb = jnp.where(occupied[..., None], color[vi], fb)
+
+    if dummy_overlay:
+        HW = H * W
+        cellpos = jnp.arange(HW, dtype=jnp.int32).reshape(H, W)
+        mismatch = occupied & (~v.active[vi] | (v.pos[vi] != cellpos))
+        fb = jnp.where(mismatch[..., None],
+                       jnp.array([255, 0, 255], jnp.uint8), fb)
     return fb

@@ -377,7 +377,9 @@ class TrafficSim:
         if not hasattr(self, "_render"):
             self._render = jax.jit(lambda w: render_frame(
                 w.grid, w.stop_map, w.rain_map, w.veh_map, w.vehicles,
-                pending_mask=jnp.zeros_like(w.stop_map)))
+                pending_mask=jnp.zeros_like(w.stop_map),
+                level=self.cfg.AGENT_PORTRAYAL_LEVEL,
+                dummy_overlay=self.cfg.USE_DUMMY_AGENTS))
         return self._render(self.world)
 
     def stats(self) -> dict:
