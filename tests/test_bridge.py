@@ -67,3 +67,30 @@ def test_force_go_clears_stop(small_cfg, small_world):
     w2 = jax.jit(functools.partial(step_world, small_cfg))(
         bridge.sim.world)
     assert not np.asarray(w2.lights.light_stop)[ids].any()
+
+
+def test_ui_page_references_only_real_routes():
+    """The served control page (reference's Mesa UI cards,
+    `mesa_server.py:31-58`) may only call endpoints the bridge actually
+    registers."""
+    import os
+    import re
+    from trafficsimulation_tpu.bridge import server as S
+
+    src = open(S.__file__).read()
+    patterns = re.findall(r"\(r\"(/[^\"]*)\"", src)
+    routes = set(patterns)
+
+    def registered(path):
+        return any(re.fullmatch(p, path) for p in patterns)
+    html = open(os.path.join(os.path.dirname(S.__file__),
+                             "ui.html")).read()
+    called = set(re.findall(r"(?:post|fetch)\('(/[a-zA-Z_.]+)", html))
+    assert called, "UI page calls no endpoints?"
+    missing = {c for c in called if not registered(c)}
+    assert not missing, f"UI references unregistered endpoints: {missing}"
+    # the operable surface the VERDICT asked for is all present
+    for must in ("/", "/frame.png", "/metrics", "/params", "/reset",
+                 "/set_all_traffic_lights_stop", "/create_vehicle",
+                 "/spawn_rain", "/step"):
+        assert registered(must), must
