@@ -136,3 +136,21 @@ def test_dummy_overlay_flags_inconsistency(small_cfg, small_world):
     bad_map = w.veh_map.reshape(-1).at[100].set(0).reshape(w.veh_map.shape)
     diff = (frame(bad_map, True) != frame(bad_map, False)).any(axis=-1)
     assert diff.sum() == 1 and diff.reshape(-1)[100]
+
+
+def test_free_slots_matches_nonzero():
+    """engine.free_slots == jnp.nonzero(~used, size=n, fill_value=-1)
+    for every fill regime (plenty free / exactly n / fewer than n)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from trafficsimulation_tpu.ops import engine
+
+    rng = np.random.default_rng(0)
+    for V, n, p in ((64, 16, 0.3), (64, 16, 0.95), (64, 128, 0.5),
+                    (1024, 64, 0.99), (16, 16, 1.0)):
+        used = jnp.asarray(rng.random(V) < p)
+        want = jnp.nonzero(~used, size=n, fill_value=-1)[0].astype(
+            jnp.int32)
+        got = engine.free_slots(used, n)
+        assert np.array_equal(np.asarray(want), np.asarray(got)), (V, n, p)

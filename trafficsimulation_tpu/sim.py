@@ -205,9 +205,11 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
         # each tick's consumed trips, so ticks share the compacted list
         # without collisions (slots freed mid-segment are reused next
         # segment).  Extra S of -1 padding keeps the dynamic slice from
-        # clamping at the end.
-        slots0 = jnp.nonzero(~e.slot_used, size=(length + 1) * S,
-                             fill_value=-1)[0].astype(jnp.int32)
+        # clamping at the end.  Compaction = stable sort (free first,
+        # ascending) — `nonzero`'s V-element scatter is scalar-priced on
+        # TPU (~19 cycles/element over the PADDED pool); lax.sort stays
+        # vector.  Identical output: -1 beyond the free count.
+        slots0 = engine.free_slots(e.slot_used, (length + 1) * S)
 
         def body(carry, _):
             e2, cur = carry
