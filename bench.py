@@ -107,20 +107,27 @@ def bench_headline():
 
     steps_per_sec, world2 = _steps_per_sec(cfg, world, TICKS)
 
-    # batched worlds: size the batch to HBM (the [D, 4, H, W] u16 field
-    # stack is 335 MB/world at D=640)
+    # batched rollouts of the same city, shared geometry: the 335 MB
+    # [D, 4, H, W] routing stack lives ONCE; only dynamic state (planes,
+    # pools, metrics) is per-world, so the batch is no longer HBM-capped
+    # by the field stack (parallel.mesh.tile_dynamic; bit-identical to a
+    # fully broadcast batch — tests/test_parallel.py)
     try:
         if _left() < 300:
             raise TimeoutError("skip batch measurement (time budget)")
-        world_bytes = sum(np.asarray(x).nbytes
-                          for x in jax.tree_util.tree_leaves(world))
-        batch = max(1, min(BATCH, int(7.5e9 / max(world_bytes, 1))))
-        worlds = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), world)
-        bstep = jax.jit(functools.partial(
-            lambda c, ws, n: jax.vmap(
-                functools.partial(run_chunk, c, n=n))(ws), cfg, n=TICKS),
-            donate_argnums=0)
+        from trafficsimulation_tpu.parallel.mesh import (
+            tile_dynamic, run_batch_shared, SHARED_GEOMETRY_FIELDS)
+        import dataclasses
+        dyn_bytes = sum(
+            np.asarray(x).nbytes
+            for f in dataclasses.fields(world)
+            if f.name not in SHARED_GEOMETRY_FIELDS
+            for x in jax.tree_util.tree_leaves(getattr(world, f.name)))
+        batch = max(1, min(BATCH, int(7.5e9 / max(dyn_bytes, 1))))
+        keys = jax.random.split(jax.random.PRNGKey(1), batch)
+        worlds = tile_dynamic(world, keys)
+        bstep = jax.jit(functools.partial(run_batch_shared, cfg,
+                                          n_ticks=TICKS), donate_argnums=0)
         worlds = jax.block_until_ready(bstep(worlds))
         t0 = time.perf_counter()
         worlds = jax.block_until_ready(bstep(worlds))

@@ -15,7 +15,7 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from trafficsimulation_tpu.core.synth import crossroad_world
-from trafficsimulation_tpu.sim import step_world
+from trafficsimulation_tpu.sim import step_world, run_chunk
 
 import __graft_entry__ as ge
 
@@ -138,3 +138,35 @@ def test_spatial_sharding_matches_unsharded():
         wr.metrics.created_internal)
     # the planes really are distributed: >1 addressable shard
     assert len(ws.veh_map.sharding.device_set) == 8
+
+
+def test_shared_geometry_batch_matches_full_batch():
+    """Shared-geometry rollouts (one HBM copy of grid/statics/cost
+    fields, per-world dynamic state) step bit-identically to the fully
+    broadcast batch given equal per-world keys."""
+    from trafficsimulation_tpu.parallel.mesh import (
+        tile_dynamic, run_batch_shared, run_batch)
+    cfg, w0, _ = _setup()
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+
+    shared = jax.jit(functools.partial(run_batch_shared, cfg, n_ticks=4))(
+        tile_dynamic(w0, keys))
+
+    full = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + jnp.shape(a)), w0)
+    full = full.replace(key=keys)
+    full = jax.jit(functools.partial(
+        lambda c, ws, n: jax.vmap(
+            functools.partial(run_chunk, c, n=n))(ws), cfg, n=4))(full)
+
+    # geometry stays unbatched in the shared result
+    assert shared.cost_field.ndim == w0.cost_field.ndim
+    assert shared.veh_map.shape[0] == B
+    assert (np.asarray(shared.veh_map) == np.asarray(full.veh_map)).all()
+    assert (np.asarray(shared.vehicles.pos)
+            == np.asarray(full.vehicles.pos)).all()
+    assert (np.asarray(shared.demand.cursor)
+            == np.asarray(full.demand.cursor)).all()
+    assert (np.asarray(shared.metrics.created_internal)
+            == np.asarray(full.metrics.created_internal)).all()

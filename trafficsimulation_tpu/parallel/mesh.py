@@ -56,6 +56,76 @@ def run_batch(cfg: Config, worlds, n_ticks: int):
     return worlds
 
 
+# World fields that are pure geometry / static tables: identical across
+# rollouts of the SAME city, so shared-geometry batches map them with
+# in_axes=None (one HBM copy for the whole batch).  Everything else is
+# per-world dynamic state (axis 0).  The demand TABLE is shared too —
+# same city, same trip schedule; only its consumption cursor is
+# per-world.  Rollout divergence comes from the per-world step keys
+# (conflict priorities, faults, rain).
+SHARED_GEOMETRY_FIELDS = frozenset({
+    "grid", "lights_static", "groups_static", "blocks_static", "dests",
+    "cost_field", "nearest_exit", "ped_spawn_cells"})
+_DEMAND_DYNAMIC = frozenset({"cursor"})
+
+
+def shared_geometry_axes(world):
+    """vmap in_axes / out_axes prefix tree for a shared-geometry batch."""
+    import dataclasses
+    dem = world.demand
+    dem_axes = type(dem)(**{
+        f.name: (0 if f.name in _DEMAND_DYNAMIC else None)
+        for f in dataclasses.fields(dem)})
+    return type(world)(**{
+        f.name: (None if f.name in SHARED_GEOMETRY_FIELDS
+                 else dem_axes if f.name == "demand" else 0)
+        for f in dataclasses.fields(world)})
+
+
+def tile_dynamic(world, keys):
+    """Batch ONE world for shared-geometry rollouts: dynamic leaves gain
+    a leading batch dim (one per key), geometry stays unbatched.  The
+    [D, 4, H, W] routing stack — 335 MB/world at the 256x256 judged
+    config — exists ONCE for the whole batch, so batch size is no longer
+    HBM-capped by it (the RL-training / ensemble-rollout use case:
+    many stochastic rollouts of the same city)."""
+    import dataclasses
+    B = keys.shape[0]
+
+    def bcast(v):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (B,) + jnp.shape(a)), v)
+
+    out = {}
+    for f in dataclasses.fields(world):
+        n = f.name
+        v = getattr(world, n)
+        if n in SHARED_GEOMETRY_FIELDS:
+            out[n] = v
+        elif n == "key":
+            out[n] = keys
+        elif n == "demand":
+            import dataclasses as dc
+            out[n] = type(v)(**{
+                g.name: (bcast(getattr(v, g.name))
+                         if g.name in _DEMAND_DYNAMIC
+                         else getattr(v, g.name))
+                for g in dc.fields(v)})
+        else:
+            out[n] = bcast(v)
+    return type(world)(**out)
+
+
+def run_batch_shared(cfg: Config, batch, n_ticks: int):
+    """Advance a shared-geometry batch (see `tile_dynamic`) n_ticks.
+    Semantically identical to the fully-batched `run_batch` given equal
+    per-world state (tested in tests/test_parallel.py)."""
+    from ..sim import run_chunk
+    axes = shared_geometry_axes(batch)
+    return jax.vmap(functools.partial(run_chunk, cfg, n=n_ticks),
+                    in_axes=(axes,), out_axes=axes)(batch)
+
+
 def fleet_metrics(worlds):
     """Cross-world aggregate metrics (completed trips, live vehicles) —
     one all-reduce over the worlds axis when sharded."""
