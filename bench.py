@@ -249,7 +249,34 @@ def bench_config5():
             "render_ms": round(render_ms, 2)}
 
 
+def _backend_watchdog(secs: float = 600.0):
+    """The axon TPU tunnel can HANG backend init (observed r3): emit an
+    explained JSON line and exit instead of eating the driver's whole
+    budget silently."""
+    import threading
+    done = threading.Event()
+
+    def boom():
+        if not done.is_set():
+            print(json.dumps({
+                "metric": "cell-updates/sec (256x256, 10k vehicles)",
+                "value": 0, "unit": "cell-updates/sec", "vs_baseline": 0,
+                "extra": {"error": "TPU backend init exceeded "
+                                   f"{secs:.0f}s watchdog (tunnel down?)"},
+            }), flush=True)
+            os._exit(3)
+
+    t = threading.Timer(secs, boom)
+    t.daemon = True
+    t.start()
+    dev = jax.devices()
+    done.set()
+    t.cancel()
+    return dev
+
+
 def main():
+    _backend_watchdog()
     head = bench_headline()
 
     configs = {}
