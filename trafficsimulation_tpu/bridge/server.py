@@ -208,6 +208,92 @@ def make_app(bridge: BridgeState):
         def get(self):
             _json(self, sim.stats())
 
+    class CellHandler(tornado.web.RequestHandler):
+        """Per-cell inspector — the reference's AGENT_PORTRAYAL_LEVEL=2
+        popup fields (`cell.py:300-344`): type, flow arrows, light state,
+        queue assignment, block resources, plus the occupant vehicle."""
+
+        def get(self):
+            from .. import utils, codes as Cc
+            w = sim.world
+            grid = w.grid
+            H, Wd = grid.cell_type.shape
+            try:
+                x = int(self.get_argument("x"))
+                y = int(self.get_argument("y"))
+            except (ValueError, tornado.web.MissingArgumentError):
+                _json(self, {"error": "x and y required"}, 400)
+                return
+            if not (0 <= x < Wd and 0 <= y < H):
+                _json(self, {"error": "out of bounds"}, 404)
+                return
+            t = int(np.asarray(grid.cell_type)[y, x])
+            out = {
+                "x": x, "y": y,
+                "cell_type": Cc.TYPE_NAMES.get(t, str(t)),
+                "directions": sorted(utils.flow_at(
+                    np.asarray(grid.allowed_dirs), x, y)),
+                "road_class": int(np.asarray(grid.road_class)[y, x]),
+                "stop": bool(np.asarray(w.stop_map)[y, x]),
+                "rain": bool(np.asarray(w.rain_map)[y, x]),
+            }
+            lid = int(np.asarray(grid.light_id)[y, x])
+            gid = int(np.asarray(grid.group_id)[y, x])
+            if lid >= 0:
+                out["light"] = {
+                    "id": lid,
+                    "stopped": bool(np.asarray(
+                        w.lights.light_stop)[lid]),
+                    "group": int(np.asarray(w.lights_static.group)[lid]),
+                }
+            if gid >= 0:
+                out["group"] = {
+                    "id": gid,
+                    "phase": int(np.asarray(
+                        w.lights.current_phase)[gid]),
+                    "pending": int(np.asarray(
+                        w.lights.pending_phase)[gid]),
+                }
+            qg = int(np.asarray(grid.queue_group)[y, x])
+            if qg >= 0:
+                out["queue"] = {
+                    "group": qg,
+                    "bucket": int(np.asarray(grid.queue_bucket)[y, x])}
+            bid = int(np.asarray(grid.block_id)[y, x])
+            if bid >= 0:
+                out["block"] = {
+                    "id": bid,
+                    "type": Cc.TYPE_NAMES.get(int(np.asarray(
+                        w.blocks_static.btype)[bid]), "?"),
+                    "food": float(np.asarray(w.blocks.food)[bid]),
+                    "waste": float(np.asarray(w.blocks.waste)[bid]),
+                    "food_cap": float(np.asarray(
+                        w.blocks_static.food_cap)[bid]),
+                    "waste_cap": float(np.asarray(
+                        w.blocks_static.waste_cap)[bid]),
+                }
+            vid = int(np.asarray(w.veh_map)[y, x])
+            if vid >= 0:
+                v = w.vehicles
+                out["vehicle"] = {
+                    "slot": vid,
+                    "kind": ["internal", "through", "food",
+                             "waste"][int(np.asarray(v.kind)[vid])],
+                    "speed": int(np.asarray(v.current_speed)[vid]),
+                    "base_speed": int(np.asarray(v.base_speed)[vid]),
+                    "heading": int(np.asarray(v.heading)[vid]),
+                    "dest": int(np.asarray(v.dest)[vid]),
+                    "parked": bool(np.asarray(v.parked)[vid]),
+                    "stuck_ticks": int(np.asarray(v.stuck_ticks)[vid]),
+                    "in_collision": bool(np.asarray(
+                        v.in_collision)[vid]),
+                    "in_malfunction": bool(np.asarray(
+                        v.in_malfunction)[vid]),
+                    "overtaking": bool(np.asarray(
+                        v.contraflow_ticks)[vid] > 0),
+                }
+            _json(self, out)
+
     class HighwaysHandler(tornado.web.RequestHandler):
         """Highway I/O inventory with the reference's decorative labels
         (`cell.py:79-152`): flat cell -> "Horizontal_1_South_Entrance_2"
@@ -342,6 +428,7 @@ def make_app(bridge: BridgeState):
         (r"/params", ParamsHandler),
         (r"/reset", ResetHandler),
         (r"/state", StateHandler),
+        (r"/cell", CellHandler),
         (r"/metrics", MetricsHandler),
         (r"/highways", HighwaysHandler),
         (r"/frame.png", FrameHandler),
