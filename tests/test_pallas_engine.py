@@ -137,3 +137,24 @@ def test_shift_roll_matches_shift_plane():
             a = _shift_plane(x, d, jnp.asarray(fill, x.dtype))
             b = roll_host(x, d, fill)
             assert np.array_equal(np.asarray(a), np.asarray(b)), d
+
+
+def test_wavefront_kernel_matches_core():
+    """The VMEM-resident wavefront kernel == the padded-shift core on
+    random geometry (interpret mode) and on the engine test world."""
+    from trafficsimulation_tpu.config import Config
+    from trafficsimulation_tpu.ops.routing import _shift_plane
+    cfg = Config(WIDTH=32, HEIGHT=32,
+                 VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS=6)
+    rng = np.random.default_rng(2)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        allowed = jnp.asarray(
+            rng.integers(0, 16, (32, 32)).astype(np.int32))
+        road = jnp.asarray(rng.random((32, 32)) < 0.5)
+        hard = jnp.asarray(rng.random((32, 32)) < 0.1) & road
+        ref = pallas_engine.wavefront_core(cfg, _shift_plane, allowed,
+                                           road, hard)
+        got = pallas_engine.build_wavefront_pallas(cfg, allowed, road,
+                                                   hard, interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), seed

@@ -243,46 +243,24 @@ def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
     bit 3 = that move is contraflow.
 
     Direction-indexing ties each vehicle to merge cells consistent with
-    its OWN blocked move (selected by its sdir best dir — `_pick_wnd`),
-    so a blocker on an unrelated street (e.g. the opposing lane) cannot
+    its OWN blocked move (selected by its stored excursion key), so a
+    blocker on an unrelated street (e.g. the opposing lane) cannot
     attract the excursion backward — the failure mode of the former
     single shared plane (PARITY known-gap history).  Only vehicles
     holding a contraflow allowance follow it, so opposite-lane
-    through-traffic is unaffected."""
-    H, W = allowed.shape
-    K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
-    BIGW = jnp.int32(127)
-    legal, _, can_mv = _entry_costs(cfg, allowed, is_road, enter2, hard)
-    road_free = is_road & ~hard
+    through-traffic is unaffected.
 
-    # direction-d merge cells: free road one step past a hard cell whose
-    # lane flows along d; all four wavefronts relax together as a
-    # stacked [4, H, W] plane (shifts run on the last two axes)
-    src = jnp.stack([nbr(hard & legal[d], C.opposite(d), False) & road_free
-                     for d in range(4)])
-    can4 = [can_mv[m][None] for m in range(4)]
-    Wv = jnp.where(src, 0, BIGW)
-    for _ in range(K_OVT):
-        nv = Wv
-        for m in range(4):
-            c = jnp.where(can4[m], nbr(Wv, m, BIGW), BIGW) + 1
-            nv = jnp.minimum(nv, c)
-        Wv = jnp.minimum(nv, BIGW)
-    wbest = jnp.full((4, H, W), BIGW)
-    warg = jnp.full((4, H, W), 7, jnp.int32)
-    for m in range(4):
-        c = jnp.where(can4[m], nbr(Wv, m, BIGW), BIGW)
-        upd = c < wbest
-        wbest = jnp.where(upd, c, wbest)
-        warg = jnp.where(upd, jnp.int32(m), warg)
-    wvalid = (Wv <= K_OVT) & (wbest < Wv)
-    wcontra = ~(jnp.where(warg == 0, legal[0][None],
-                jnp.where(warg == 1, legal[1][None],
-                jnp.where(warg == 2, legal[2][None], legal[3][None]))))
-    byte = jnp.where(wvalid, warg | (wcontra.astype(jnp.int32) << 3),
-                     jnp.int32(7))
-    return (byte[0] | (byte[1] << 8) | (byte[2] << 16)
-            | (byte[3] << 24)).astype(jnp.int32)
+    One implementation (`pallas_engine.wavefront_core`), two executors:
+    a VMEM-resident kernel on TPU (the XLA form materializes ~350 plane
+    passes per routing segment), padded shifts elsewhere.  `enter2` is
+    unused (the wavefront needs no dynamic costs) and kept for signature
+    stability."""
+    del enter2
+    H, W = allowed.shape
+    if _on_tpu() and pallas_engine.wavefront_vmem_fits(cfg, H, W):
+        return pallas_engine.build_wavefront_pallas(cfg, allowed, is_road,
+                                                    hard)
+    return pallas_engine.wavefront_core(cfg, nbr, allowed, is_road, hard)
 
 
 ND_NONE = 7        # no static move

@@ -376,6 +376,91 @@ def decide_move_core(cfg: Config, shift, select, wnd,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-direction overtake wavefront build
+# ---------------------------------------------------------------------------
+
+
+def wavefront_core(cfg: Config, shift, allowed, is_road, hard):
+    """engine.build_wavefront's math with a pluggable shift — shared by
+    the XLA path (padded shifts) and the VMEM-resident kernel (rolls).
+    `allowed` i32 bitmask, `is_road`/`hard` bool.  Returns the packed
+    i32 word plane (byte d = wavefront for blocked direction d)."""
+    K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
+    BIGW = jnp.int32(127)
+    legal = [(allowed & C.DIR_BITS[m]) != 0 for m in range(4)]
+    can_mv = []
+    for m in range(4):
+        hd = shift(hard, m, True)
+        rd = shift(is_road, m, False)
+        can_mv.append((legal[m] | rd) & ~hd)
+    road_free = is_road & ~hard
+
+    def relax(Wv):
+        for _ in range(K_OVT):
+            nv = Wv
+            for m in range(4):
+                c = jnp.where(can_mv[m], shift(Wv, m, BIGW), BIGW) + 1
+                nv = jnp.minimum(nv, c)
+            Wv = jnp.minimum(nv, BIGW)
+        return Wv
+
+    out = None
+    for d in range(4):
+        src = shift(hard & legal[d], C.opposite(d), False) & road_free
+        Wv = relax(jnp.where(src, 0, BIGW))
+        wbest = jnp.full_like(Wv, BIGW)
+        warg = jnp.full_like(Wv, 7)
+        for m in range(4):
+            c = jnp.where(can_mv[m], shift(Wv, m, BIGW), BIGW)
+            upd = c < wbest
+            wbest = jnp.where(upd, c, wbest)
+            warg = jnp.where(upd, jnp.int32(m), warg)
+        wvalid = (Wv <= K_OVT) & (wbest < Wv)
+        wcontra = ~(jnp.where(warg == 0, legal[0],
+                    jnp.where(warg == 1, legal[1],
+                    jnp.where(warg == 2, legal[2], legal[3]))))
+        byte = jnp.where(wvalid, warg | (wcontra.astype(jnp.int32) << 3),
+                         jnp.int32(7))
+        out = byte if out is None else out | (byte << (8 * d))
+    return out
+
+
+def _wavefront_kernel(cfg, allowed_ref, road_ref, hard_ref, out_ref):
+    out_ref[:] = wavefront_core(cfg, _shift_roll, allowed_ref[:],
+                                road_ref[:] != 0, hard_ref[:] != 0)
+
+
+def build_wavefront_pallas(cfg: Config, allowed, is_road, hard,
+                           interpret: bool = False):
+    """One VMEM-resident kernel for the whole per-direction wavefront
+    build: the XLA form is ~350 materialized plane passes per routing
+    segment (4 direction stacks x K relax iterations x 4 shifted
+    candidates); in-kernel they are VPU rolls over a ~3 MB working set.
+    Bit-identical to `wavefront_core` under padded shifts (tested in
+    interpret mode)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = allowed.shape
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_wavefront_kernel, cfg),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[spec] * 3, out_specs=spec, interpret=interpret, **kw,
+    )(allowed.astype(jnp.int32), is_road.astype(jnp.int32),
+      hard.astype(jnp.int32))
+
+
+def wavefront_vmem_fits(cfg: Config, H: int, W: int) -> bool:
+    """Whole-grid wavefront kernel viability: ~16 live i32 planes."""
+    return 20 * H * W * 4 < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
 # Streaming destination-row select
 # ---------------------------------------------------------------------------
 
