@@ -57,8 +57,6 @@ def world_shardings(world, mesh: Mesh):
                          f"{ny} devices")
 
     def spec(a):
-        a = np.asarray(jax.eval_shape(lambda x: x, a)) \
-            if not hasattr(a, "shape") else a
         if a.ndim >= 2 and tuple(a.shape[-2:]) == (H, W):
             return NamedSharding(
                 mesh, P(*([None] * (a.ndim - 2) + ["y", None])))
