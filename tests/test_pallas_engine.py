@@ -158,3 +158,24 @@ def test_wavefront_kernel_matches_core():
         got = pallas_engine.build_wavefront_pallas(cfg, allowed, road,
                                                    hard, interpret=True)
         assert np.array_equal(np.asarray(ref), np.asarray(got)), seed
+
+
+def test_prefix_kernel_matches_xla():
+    """The fused inclusive-prefix kernel == the XLA log-shift doubling
+    on random planes of several shapes (incl. non-square)."""
+    rng = np.random.default_rng(4)
+    for Hh, Ww in ((8, 16), (32, 32), (16, 64)):
+        occ = jnp.asarray(rng.integers(0, 2, (Hh, Ww)).astype(np.int32))
+        x = occ
+        s = 1
+        while s < Ww:
+            x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :Ww]
+            s *= 2
+        y = occ
+        s = 1
+        while s < Hh:
+            y = y + jnp.pad(y, ((s, 0), (0, 0)))[:Hh]
+            s *= 2
+        gh, gv = pallas_engine.prefix_planes_pallas(occ, interpret=True)
+        assert np.array_equal(np.asarray(x), np.asarray(gh)), (Hh, Ww)
+        assert np.array_equal(np.asarray(y), np.asarray(gv)), (Hh, Ww)

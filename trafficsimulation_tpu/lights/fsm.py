@@ -53,26 +53,39 @@ def init_lights_state(cfg: Config, num_groups: int, num_lights: int,
     )
 
 
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _prefix_planes(occupancy: jnp.ndarray) -> jnp.ndarray:
     """Concatenated flat prefix buffer [H*(W+1) + (H+1)*W]: first the
     row-exclusive prefixes Ph[y, j] = sum(occ[y, :j]), then the
-    column-exclusive prefixes Pv[k, x] = sum(occ[:k, x]).  Built with
-    log-shift doubling (pure vector math)."""
+    column-exclusive prefixes Pv[k, x] = sum(occ[:k, x]).  The inclusive
+    prefixes come from one VMEM-resident kernel on TPU (the XLA
+    log-shift doubling materializes ~16 padded plane passes per tick) or
+    the same doubling in XLA elsewhere."""
     H, W = occupancy.shape
     occ = occupancy.astype(jnp.int32)
 
-    x = occ
-    s = 1
-    while s < W:
-        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :W]
-        s *= 2
+    if _on_tpu():
+        from ..ops.pallas_engine import prefix_planes_pallas
+        x, y = prefix_planes_pallas(occ)
+    else:
+        x = occ
+        s = 1
+        while s < W:
+            x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :W]
+            s *= 2
+        y = occ
+        s = 1
+        while s < H:
+            y = y + jnp.pad(y, ((s, 0), (0, 0)))[:H]
+            s *= 2
     Ph = jnp.pad(x, ((0, 0), (1, 0)))          # [H, W+1] exclusive-at-j
-
-    y = occ
-    s = 1
-    while s < H:
-        y = y + jnp.pad(y, ((s, 0), (0, 0)))[:H]
-        s *= 2
     Pv = jnp.pad(y, ((1, 0), (0, 0)))          # [H+1, W]
     return jnp.concatenate([Ph.reshape(-1), Pv.reshape(-1)])
 

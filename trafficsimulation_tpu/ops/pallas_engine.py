@@ -461,6 +461,56 @@ def wavefront_vmem_fits(cfg: Config, H: int, W: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Fused inclusive prefix sums (light-queue reductions run these per tick)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_kernel(occ_ref, outh_ref, outv_ref):
+    from jax.experimental.pallas import tpu as pltpu
+    x = occ_ref[:]
+    H, W = x.shape
+    h = x
+    s = 1
+    while s < W:
+        r = pltpu.roll(h, s, 1)
+        keep = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) >= s
+        h = h + jnp.where(keep, r, 0)
+        s *= 2
+    outh_ref[:] = h
+    v = x
+    s = 1
+    while s < H:
+        r = pltpu.roll(v, s, 0)
+        keep = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) >= s
+        v = v + jnp.where(keep, r, 0)
+        s *= 2
+    outv_ref[:] = v
+
+
+def prefix_planes_pallas(occ: jnp.ndarray, interpret: bool = False):
+    """Row- and column-INCLUSIVE prefix sums of an i32 plane in one
+    VMEM-resident kernel (the XLA log-shift doubling materializes ~16
+    padded plane passes per tick).  Returns (incH, incV), both [H, W]:
+    incH[y, j] = sum(occ[y, :j+1]), incV[k, x] = sum(occ[:k+1, x])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = occ.shape
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024)
+    return pl.pallas_call(
+        _prefix_kernel,
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[spec], out_specs=(spec, spec),
+        interpret=interpret, **kw,
+    )(occ.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Streaming destination-row select
 # ---------------------------------------------------------------------------
 
