@@ -109,7 +109,7 @@ def test_assert_world_fits_flags_saturated_caps(small_cfg, small_world):
 
     bad = world2.replace(lights_static=world2.lights_static.replace(
         valid=jax.numpy.ones_like(world2.lights_static.valid)))
-    with pytest.raises(AssertionError, match="saturated"):
+    with pytest.raises(RuntimeError, match="saturated"):
         assert_world_fits(cfg2, bad)
 
 

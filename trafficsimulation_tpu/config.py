@@ -475,17 +475,26 @@ class Config:
             self.INTERNAL_POPULATION_TRAFFIC_PER_DAY
             + self.PASSING_POPULATION_TRAFFIC_PER_DAY + service + 64)
         max_exits = 4 * self.MIN_R1_BANDS * self.ROAD_THICKNESS_R1 + 32
+        # the packed vehicle planes carry block ids and destination ids
+        # in 14 bits each (ops/engine.py bit layout): the PADDED tables
+        # clamp to the representable id space.  The worst-case formula
+        # overshoots real generation by ~2x (1024x1024 formula 21609 vs
+        # ~13k actual blocks), so the clamp only binds headroom; a world
+        # that truly saturates a clamped table is caught by
+        # sim.assert_world_fits.
+        max_blocks = min(max_blocks, 16382)
         caps = self._base_capacities(max_bands, max_groups, max_lights,
                                      max_blocks, max_vehicles, max_trips,
                                      max_exits)
+        if caps.max_dests > 16382:
+            caps = dataclasses.replace(caps, max_dests=16382)
         if self.CAP_OVERRIDES:
             caps = dataclasses.replace(caps, **dict(self.CAP_OVERRIDES))
-        # the packed vehicle planes carry block ids in 14 bits (pd) and
-        # destination ids in 14 bits (pa) — see ops/engine.py bit layout
-        assert caps.max_blocks < 16383 and caps.max_dests < 16383, (
-            f"grid too large for the packed plane id fields "
-            f"(max_blocks={caps.max_blocks}, max_dests={caps.max_dests}, "
-            "limit 16382); raise the bit widths in ops/engine.py")
+        if caps.max_blocks > 16382 or caps.max_dests > 16382:
+            raise ValueError(
+                f"CAP_OVERRIDES exceed the packed plane id fields "
+                f"(max_blocks={caps.max_blocks}, max_dests="
+                f"{caps.max_dests}, limit 16382)")
         return caps
 
     def _base_capacities(self, max_bands, max_groups, max_lights,

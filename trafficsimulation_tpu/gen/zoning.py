@@ -28,13 +28,7 @@ from ..config import Config
 from ..ops.labels import (connected_components, connected_components_keyed,
                           compact_labels)
 from .raster import _shift_from
-
-
-def _hash32(x):
-    """Murmur3-style avalanche (see ops.engine._hash32)."""
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    return x ^ (x >> 16)
+from ..ops.engine import _hash32
 
 
 def _seg_min(vals, seg, num, init):

@@ -53,15 +53,8 @@ def init_lights_state(cfg: Config, num_groups: int, num_lights: int,
     )
 
 
-def _on_tpu() -> bool:
-    try:
-        import jax
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
-def _prefix_planes(occupancy: jnp.ndarray) -> jnp.ndarray:
+def _prefix_planes(occupancy: jnp.ndarray,
+                   use_pallas: bool = True) -> jnp.ndarray:
     """Concatenated flat prefix buffer [H*(W+1) + (H+1)*W]: first the
     row-exclusive prefixes Ph[y, j] = sum(occ[y, :j]), then the
     column-exclusive prefixes Pv[k, x] = sum(occ[:k, x]).  The inclusive
@@ -71,7 +64,9 @@ def _prefix_planes(occupancy: jnp.ndarray) -> jnp.ndarray:
     H, W = occupancy.shape
     occ = occupancy.astype(jnp.int32)
 
-    if _on_tpu():
+    from ..ops.engine import _on_tpu
+    # whole-grid kernel: ~8 live i32 planes of working set
+    if use_pallas and _on_tpu() and 32 * H * W < 100 * 1024 * 1024:
         from ..ops.pallas_engine import prefix_planes_pallas
         x, y = prefix_planes_pallas(occ)
     else:
@@ -91,7 +86,7 @@ def _prefix_planes(occupancy: jnp.ndarray) -> jnp.ndarray:
 
 
 def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
-                     gs: GroupStatic = None):
+                     gs: GroupStatic = None, use_pallas: bool = True):
     """One segment-sum over the queue labels yields per-group
     (ns_in, ns_out, ew_in, ew_out) queue counts AND the intersection
     occupancy flag (bucket 4) — the njit reducers
@@ -106,7 +101,7 @@ def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
     vector passes for the prefix planes."""
     G = num_groups
     if gs is not None:
-        P = _prefix_planes(occupancy)
+        P = _prefix_planes(occupancy, use_pallas=use_pallas)
         cnt = P[gs.run_hi] - P[gs.run_lo]
         seg = jnp.where(gs.run_seg >= 0, gs.run_seg, G * 5)
         sums = jnp.zeros((G * 5 + 1,), jnp.int32).at[seg].add(cnt)

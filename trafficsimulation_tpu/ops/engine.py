@@ -176,7 +176,8 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
     # kernel VMEM budget: one 4-row block of Q (4 headings u16) +
     # pen/legal stacks + working planes; beyond ~6 MB fall back to the
     # XLA path (1024^2 grids)
-    if _on_tpu() and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024 \
+    if cfg.USE_PALLAS_ENGINE and _on_tpu() \
+            and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024 \
             and D % 4 == 0:
         pen4 = jnp.stack(pen_m)
         legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
@@ -257,7 +258,8 @@ def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,
     stability."""
     del enter2
     H, W = allowed.shape
-    if _on_tpu() and pallas_engine.wavefront_vmem_fits(cfg, H, W):
+    if cfg.USE_PALLAS_ENGINE and _on_tpu() \
+            and pallas_engine.wavefront_vmem_fits(cfg, H, W):
         return pallas_engine.build_wavefront_pallas(cfg, allowed, is_road,
                                                     hard)
     return pallas_engine.wavefront_core(cfg, nbr, allowed, is_road, hard)
@@ -302,14 +304,17 @@ def select_dest_rows(sdir4: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
     return (w >> sh) & 0xFF
 
 
-def select_rows(sdir4: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+def select_rows(sdir4: jnp.ndarray, dest: jnp.ndarray,
+                use_pallas: bool = True) -> jnp.ndarray:
     """Backend dispatch for the destination-row select: the streaming
     Pallas kernel on TPU (HBM-bandwidth bound), the masked reduction
-    elsewhere.  Both return the same i32 nd plane."""
+    elsewhere.  Both return the same i32 nd plane.  `use_pallas=False`
+    forces the XLA form (the spatial-sharding path — the SPMD
+    partitioner cannot partition a pallas_call)."""
     H, W = dest.shape
     # dest + i32 accumulator + one sdir block + ~8 B/cell of Mosaic
     # temporaries (a 1024^2 compile measures 19.98 MB scoped)
-    if _on_tpu() and (20 * H * W) < 15 * 1024 * 1024:
+    if use_pallas and _on_tpu() and (20 * H * W) < 15 * 1024 * 1024:
         from . import pallas_engine as PE
         return PE.select_rows_pallas(sdir4, dest)
     return select_dest_rows(sdir4, dest)
@@ -644,7 +649,8 @@ def step_engine(cfg: Config, world, es: EngineState,
             occupancy, stuck_map, trip_penalty, k_rl)
         rl_request = (want, phase_req)
     red = fsm.group_reductions(grid, occupancy, caps.max_groups,
-                               gs=world.groups_static)
+                               gs=world.groups_static,
+                               use_pallas=cfg.USE_PALLAS_ENGINE)
     lights = fsm.run_controllers(cfg, grid, world.groups_static, lights,
                                  occupancy, rl_phase_request=rl_request,
                                  reductions=red[:4])
@@ -691,7 +697,10 @@ def step_engine(cfg: Config, world, es: EngineState,
             th=tile[0], tw=tile[1])
     else:
         out = pallas_engine.decide_move_core(
-            cfg, nbr, lambda dest: select_rows(sdir4, dest), wnd,
+            cfg, nbr,
+            lambda dest: select_rows(sdir4, dest,
+                                     use_pallas=cfg.USE_PALLAS_ENGINE),
+            wnd,
             *planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, *randoms)
     pa, pb, pc, pd, pe, pl, flags = out

@@ -70,10 +70,16 @@ def shard_world(world, mesh: Mesh):
     return jax.tree.map(jax.device_put, world, world_shardings(world, mesh))
 
 
+@functools.lru_cache(maxsize=32)
 def spatial_chunk_fn(cfg: Config, n_ticks: int):
-    """Jitted n-tick runner for a spatially-sharded world.  Forces the
-    XLA executor (see module docstring) — semantics are identical to the
-    Pallas path (tests/test_pallas_engine.py equivalence)."""
+    """Jitted n-tick runner for a spatially-sharded world (cached per
+    (cfg, n_ticks) so repeated calls reuse the compiled program).
+    Forces the XLA executor everywhere — USE_PALLAS_ENGINE=False now
+    gates EVERY pallas_call (decide+move, sdir build, select, wavefront,
+    prefix sums): the SPMD partitioner cannot partition a single-device
+    pallas_call, so the spatial path must be pure XLA.  Semantics are
+    identical to the Pallas path (tests/test_pallas_engine.py
+    equivalence)."""
     cfg2 = cfg.replace(USE_PALLAS_ENGINE=False)
     return jax.jit(functools.partial(run_chunk, cfg2, n=n_ticks))
 

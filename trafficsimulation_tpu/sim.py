@@ -578,10 +578,12 @@ def assert_world_fits(cfg: Config, world: World) -> None:
         a = np.asarray(arr)
         if a.reshape(-1, a.shape[-1]).all(axis=-1).any():
             sat.append(name)
-    assert not sat, (
-        f"capacity table(s) saturated for this world: {sat} — the config's "
-        "CAP_OVERRIDES (measure_and_shrink output?) are too small for this "
-        "seed; regenerate with default caps or re-measure per world")
+    if sat:
+        raise RuntimeError(
+            f"capacity table(s) saturated for this world: {sat} — the "
+            "config's CAP_OVERRIDES (measure_and_shrink output?) are too "
+            "small for this seed; regenerate with default caps or "
+            "re-measure per world")
 
 
 def measure_and_shrink(cfg: Config, world: World):
