@@ -34,9 +34,41 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import numpy as np
 
-from trafficsimulation_tpu.config import Config
+
+def _backend_watchdog(
+        secs: float = float(os.environ.get("BENCH_WATCHDOG_SECS", 600))):
+    """The axon TPU tunnel can HANG backend init (observed r3) — and the
+    init can be triggered by the very first device-array creation, so
+    this must run BEFORE importing the simulation package: emit an
+    explained JSON line and exit instead of eating the driver's whole
+    budget silently."""
+    import threading
+    done = threading.Event()
+
+    def boom():
+        if not done.is_set():
+            print(json.dumps({
+                "metric": "cell-updates/sec (256x256, 10k vehicles)",
+                "value": 0, "unit": "cell-updates/sec", "vs_baseline": 0,
+                "extra": {"error": "TPU backend init exceeded "
+                                   f"{secs:.0f}s watchdog (tunnel down?)"},
+            }), flush=True)
+            os._exit(3)
+
+    t = threading.Timer(secs, boom)
+    t.daemon = True
+    t.start()
+    dev = jax.devices()
+    done.set()
+    t.cancel()
+    return dev
+
+
+_backend_watchdog()
+
+from trafficsimulation_tpu.config import Config          # noqa: E402
 from trafficsimulation_tpu.sim import init_world, run_chunk, \
-    measure_and_shrink
+    measure_and_shrink                                    # noqa: E402
 
 H = W = 256
 N_VEHICLES = 10_000
@@ -249,34 +281,7 @@ def bench_config5():
             "render_ms": round(render_ms, 2)}
 
 
-def _backend_watchdog(secs: float = 600.0):
-    """The axon TPU tunnel can HANG backend init (observed r3): emit an
-    explained JSON line and exit instead of eating the driver's whole
-    budget silently."""
-    import threading
-    done = threading.Event()
-
-    def boom():
-        if not done.is_set():
-            print(json.dumps({
-                "metric": "cell-updates/sec (256x256, 10k vehicles)",
-                "value": 0, "unit": "cell-updates/sec", "vs_baseline": 0,
-                "extra": {"error": "TPU backend init exceeded "
-                                   f"{secs:.0f}s watchdog (tunnel down?)"},
-            }), flush=True)
-            os._exit(3)
-
-    t = threading.Timer(secs, boom)
-    t.daemon = True
-    t.start()
-    dev = jax.devices()
-    done.set()
-    t.cancel()
-    return dev
-
-
 def main():
-    _backend_watchdog()
     head = bench_headline()
 
     configs = {}

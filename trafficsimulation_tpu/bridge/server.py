@@ -478,3 +478,48 @@ def launch(sim, port: int | None = None, ticks_per_frame: int = 20):
         tornado.ioloop.IOLoop.current().start()
     finally:
         recorder.cleanup_if_empty()
+
+
+def main():
+    """Console entry point (`trafficsim-serve`): the reference launcher
+    (`run.py:1-5`) as an installed script.  `--width/--height/--seed`
+    cover the common knobs; any other Config field can be set with
+    `--set NAME=VALUE` (parsed with the same rules as the /reset
+    endpoint's JSON body: int/float/bool/str by the default's type)."""
+    import argparse
+    import dataclasses
+
+    from ..config import Config
+    from ..sim import TrafficSim
+
+    ap = argparse.ArgumentParser(prog="trafficsim-serve")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--ticks-per-frame", type=int, default=20)
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="NAME=VALUE", dest="overrides")
+    args = ap.parse_args()
+
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    kw = {}
+    if args.width is not None:
+        kw["WIDTH"] = args.width
+    if args.height is not None:
+        kw["HEIGHT"] = args.height
+    for item in args.overrides:
+        name, _, raw = item.partition("=")
+        if name not in fields:
+            ap.error(f"unknown Config field {name!r}")
+        cur = getattr(Config(), name)
+        if isinstance(cur, bool):
+            kw[name] = raw.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            kw[name] = int(raw)
+        elif isinstance(cur, float):
+            kw[name] = float(raw)
+        else:
+            kw[name] = raw
+    sim = TrafficSim(Config(**kw), seed=args.seed)
+    launch(sim, port=args.port, ticks_per_frame=args.ticks_per_frame)

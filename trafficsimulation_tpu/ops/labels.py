@@ -13,7 +13,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+# Python int, not jnp.int32: module-level device constants initialize
+# the backend at import time (see ops/routing.py INF)
+_BIG = 2**30
 
 
 def _neighbor_min(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

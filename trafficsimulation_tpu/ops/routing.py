@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from .. import codes as C
 from ..config import Config
 
-INF = jnp.float32(1e9)
+# Python float, NOT jnp.float32: a module-level device constant would
+# initialize the JAX backend at import time (observed hanging every
+# package import when the TPU tunnel is down).  Weak-typed promotion
+# keeps every `jnp.where(..., INF)` / `>= INF` use f32.
+INF = 1e9
 
 
 def _shift_plane(f: jnp.ndarray, d: int, fill) -> jnp.ndarray:
