@@ -388,6 +388,13 @@ def wavefront_core(cfg: Config, shift, allowed, is_road, hard):
     K_OVT = cfg.VEHICLE_MAX_CONTRAFLOW_OVERTAKE_STEPS
     BIGW = jnp.int32(127)
     legal = [(allowed & C.DIR_BITS[m]) != 0 for m in range(4)]
+    # packed i32 legality word: bit m = legal[m].  The per-cell probe
+    # below replaces a bool select_n chain (i8->i1 trunci — Mosaic
+    # rejects sub-32-bit select/trunc; NOTES.md lowering constraints)
+    legal_w = (legal[0].astype(jnp.int32)
+               | (legal[1].astype(jnp.int32) << 1)
+               | (legal[2].astype(jnp.int32) << 2)
+               | (legal[3].astype(jnp.int32) << 3))
     can_mv = []
     for m in range(4):
         hd = shift(hard, m, True)
@@ -416,11 +423,11 @@ def wavefront_core(cfg: Config, shift, allowed, is_road, hard):
             wbest = jnp.where(upd, c, wbest)
             warg = jnp.where(upd, jnp.int32(m), warg)
         wvalid = (Wv <= K_OVT) & (wbest < Wv)
-        wcontra = ~(jnp.where(warg == 0, legal[0],
-                    jnp.where(warg == 1, legal[1],
-                    jnp.where(warg == 2, legal[2], legal[3]))))
-        byte = jnp.where(wvalid, warg | (wcontra.astype(jnp.int32) << 3),
-                         jnp.int32(7))
+        # contraflow flag: the chosen move direction is NOT legal flow
+        # here (dynamic vector shift; bits >= 4 of legal_w are zero, so
+        # warg == 7 probes 0 -> "contra", masked off by ~wvalid anyway)
+        wcontra_i = 1 - ((legal_w >> warg) & 1)
+        byte = jnp.where(wvalid, warg | (wcontra_i << 3), jnp.int32(7))
         out = byte if out is None else out | (byte << (8 * d))
     return out
 
