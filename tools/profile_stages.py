@@ -84,7 +84,7 @@ def main():
 
     orig_red = fsm.group_reductions
 
-    def cheap_red(grid, occ, mg, gs=None):
+    def cheap_red(grid, occ, mg, gs=None, **kw):
         s = occ.astype(jnp.int32).sum()
         q = jnp.zeros((mg, 5), jnp.int32).at[0, 0].add(s)
         return (q[:, 0], q[:, 1], q[:, 2], q[:, 3], q[:, 4] > 0)
