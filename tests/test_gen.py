@@ -390,3 +390,50 @@ def test_entrance_is_sorted_run_midpoint(small_cfg, small_city):
         assert (ex, ey) in mids, (b, (ex, ey), mids)
         checked += 1
     assert checked >= 3, f"oracle only checked {checked} blocks"
+
+
+def test_every_candidate_block_gets_an_entrance(gen_fn):
+    """Stage-8 completeness (`city_model.py:884-963`): a zoned block
+    whose perimeter has at least one road-touching sidewalk cell MUST
+    get an entrance — the reference only skips land-locked blocks.
+    Regression: the random tie-break hashed run roots to 31 bits, which
+    could exceed the 2^30 seg-min sentinel and silently drop the block's
+    entrance (~20% of blocks at 256x256).  Checked over several seeds
+    (the failure was hash/seed dependent)."""
+    for seed in range(4):
+        grid, ls, gs, bs, dests, field = gen_fn(jax.random.PRNGKey(seed))
+        cell = _np(grid.cell_type)
+        bid = _np(grid.block_id)
+        ent = _np(bs.entrance)
+        bvalid = _np(bs.valid)
+        H, W = cell.shape
+        road_codes = [C.R1, C.R2, C.R3, C.INTERSECTION,
+                      C.HIGHWAY_ENTRANCE, C.CONTROLLED_ROAD]
+        touchy = np.isin(cell, road_codes)
+        touches = np.zeros_like(touchy)
+        touches[1:, :] |= touchy[:-1, :]
+        touches[:-1, :] |= touchy[1:, :]
+        touches[:, 1:] |= touchy[:, :-1]
+        touches[:, :-1] |= touchy[:, 1:]
+        # entrance cells were sidewalk candidates before placement
+        sidewalkish = (cell == C.SIDEWALK) | (cell == C.BLOCK_ENTRANCE)
+        cand = sidewalkish & touches & (bid < 0)
+        near_block = np.full((H, W), -1, np.int64)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            sh = np.full((H, W), -1, np.int64)
+            if dy == 1:
+                sh[:-1] = bid[1:]
+            elif dy == -1:
+                sh[1:] = bid[:-1]
+            elif dx == 1:
+                sh[:, :-1] = bid[:, 1:]
+            else:
+                sh[:, 1:] = bid[:, :-1]
+            near_block = np.maximum(near_block, sh)
+        missing = []
+        for b in np.nonzero(bvalid)[0]:
+            if ent[b] >= 0:
+                continue
+            if (cand & (near_block == b)).any():
+                missing.append(int(b))
+        assert not missing, f"seed {seed}: candidate blocks w/o entrance {missing}"

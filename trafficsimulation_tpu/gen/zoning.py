@@ -225,8 +225,11 @@ def place_entrances(cfg: Config, cell, allowed, block_ids, btype,
     is_best_len = cand_flat & (my_len == best_len[bseg]) & (my_len > 0)
     if key is not None:
         salt = jax.random.bits(key, (), jnp.uint32)
+        # keep the hashed key STRICTLY below the `big` sentinel (2^30):
+        # a 31-bit key can exceed it, and then the masked seg-min returns
+        # the sentinel and the block silently gets NO entrance
         tiekey = (_hash32(flat_runs.astype(jnp.uint32) ^ salt)
-                  >> 1).astype(jnp.int32)
+                  >> 2).astype(jnp.int32)
     else:
         tiekey = flat_runs
     best_tk = _seg_min(jnp.where(is_best_len, tiekey, big), bseg,
