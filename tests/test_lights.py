@@ -397,3 +397,29 @@ def test_stop_map_runs_match_pair_scatter(small_world):
         pair_on = av & on[np.clip(al, 0, L - 1)]
         exp[ar[pair_on]] = True
         assert (got.reshape(-1) == exp).all(), seed
+
+
+def test_dense_reducers_match_sparse(small_cfg, small_world):
+    """The dense MXU form of both per-tick geometry reductions
+    (fsm.build_dense_reducers: one-hot bf16 matmuls, used for batched
+    rollouts) is EXACTLY the sparse run/scatter form — queue counts,
+    clearance flags, and stop maps — on a generated world."""
+    import jax
+    w = small_world
+    G = small_cfg.capacities().max_groups
+    M, A = fsm.build_dense_reducers(small_cfg, w.grid, w.lights_static)
+    key = jax.random.PRNGKey(3)
+    L = int(w.lights_static.valid.shape[0])
+    for i in range(3):
+        key, k1, k2 = jax.random.split(key, 3)
+        occ = jax.random.bernoulli(k1, 0.4, w.grid.cell_type.shape)
+        a = fsm.group_reductions(w.grid, occ, G, gs=w.groups_static)
+        b = fsm.group_reductions(w.grid, occ, G, dense_m=M)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), i
+        stops = jax.random.bernoulli(k2, (0.0, 0.5, 1.0)[i], (L,))
+        state = w.lights.replace(light_stop=stops)
+        sp = np.asarray(fsm.build_stop_map(w.grid, w.lights_static, state))
+        de = np.asarray(fsm.build_stop_map(w.grid, w.lights_static, state,
+                                           dense_a=A))
+        assert np.array_equal(sp, de), i

@@ -50,25 +50,37 @@ def build_worlds():
     world = bench.inject_vehicles(cfg, world, N_VEHICLES)
     world = jax.block_until_ready(world)
     if BATCH > 1:
-        world = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), world)
+        # shared-geometry batch, exactly like the headline bench: the
+        # [D, 4, H, W] field stack (335 MB at D=640) lives ONCE —
+        # a fully-broadcast B=16 batch OOMs the 16 GB v5e (observed r3)
+        from trafficsimulation_tpu.parallel.mesh import tile_dynamic
+        keys = jax.random.split(jax.random.PRNGKey(7), BATCH)
+        world = tile_dynamic(world, keys)
     return cfg, world
 
 
 def timeit(cfg, worlds, label):
     if BATCH > 1:
-        f = jax.jit(lambda ws: jax.vmap(
-            functools.partial(run_chunk, cfg, n=TICKS))(ws))
+        from trafficsimulation_tpu.parallel.mesh import run_batch_shared
+        f = jax.jit(functools.partial(run_batch_shared, cfg,
+                                      n_ticks=TICKS))
     else:
         f = jax.jit(functools.partial(run_chunk, cfg, n=TICKS))
     w = jax.block_until_ready(f(worlds))
     t0 = time.perf_counter()
-    jax.block_until_ready(f(w))
+    w = jax.block_until_ready(f(w))
     dt = time.perf_counter() - t0
     ms = dt / TICKS * 1000
     cups = BATCH * H * W * TICKS / dt
+    # sanity checksum: a folded/elided run shows an unchanged tick count
+    try:
+        import numpy as _np
+        ticks2 = int(_np.asarray(jnp.sum(w.tick)))
+        chk = f" [sum tick={ticks2}, live={int(jnp.sum(w.vehicles.active)) if hasattr(w, 'vehicles') else -1}]"
+    except Exception as e:
+        chk = f" [checksum failed: {type(e).__name__}]"
     print(f"{label:46s} {ms:8.3f} ms/tick-of-{BATCH}"
-          f"  ({cups/1e6:8.1f}M cups)", flush=True)
+          f"  ({cups/1e6:8.1f}M cups){chk}", flush=True)
     return ms
 
 

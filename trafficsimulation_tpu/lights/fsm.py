@@ -85,8 +85,55 @@ def _prefix_planes(occupancy: jnp.ndarray,
     return jnp.concatenate([Ph.reshape(-1), Pv.reshape(-1)])
 
 
+def build_dense_reducers(cfg, grid: Grid, ls: LightStatic):
+    """Dense one-hot matrices for the two per-tick geometry reductions,
+    built ONCE per chunk from static geometry (sim.run_chunk hoists the
+    build outside the tick scan):
+
+      M [G*5+1, HW] bf16 — M[g*5+b, c] = 1 iff cell c carries queue
+        label (g, b); queue counts become q = M @ occ.
+      A [HW, L] bf16 — A[c, l] = 1 iff light l stops cell c (own cell +
+        assigned controlled roads); the stop map becomes A @ light_stop.
+
+    Why: sparse run gathers/scatters price ~15-19 cycles per scalar
+    ELEMENT on TPU, every tick, per world.  As dense bf16 matmuls the
+    same reductions ride the MXU — and under `jax.vmap` (shared-geometry
+    batches, parallel/mesh.py) the matrix is read from HBM once for the
+    WHOLE batch, so the per-world cost collapses by ~B.  Exact: operands
+    are 0/1, accumulation is f32 (counts < 2^24).  Only profitable when
+    batched — callers gate via `dense_reducers_profitable`."""
+    H, W = grid.cell_type.shape
+    HW = H * W
+    G = int(cfg.capacities().max_groups)
+    L = ls.valid.shape[0]
+    qg = grid.queue_group.reshape(-1).astype(jnp.int32)
+    qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
+    seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
+    M = (seg[None, :] == jnp.arange(G * 5 + 1, dtype=jnp.int32)[:, None]
+         ).astype(jnp.bfloat16)
+    A = jnp.zeros((HW, L), jnp.bfloat16)
+    pc = jnp.where(ls.assign_valid, ls.assign_road, HW)
+    A = A.at[pc, jnp.clip(ls.assign_light, 0, L - 1)].set(
+        jnp.bfloat16(1), mode="drop")
+    A = A.at[jnp.where(ls.valid, ls.pos, HW),
+             jnp.arange(L)].set(jnp.bfloat16(1), mode="drop")
+    return M, A
+
+
+def dense_reducers_profitable(cfg) -> bool:
+    """Dense reductions pay when the matrix read amortizes over a
+    batched matmul and fits comfortably in HBM next to the field stack:
+    grids >= 256x256 (smaller grids' sparse reductions are cheap) with
+    both matrices under ~256 MB combined."""
+    caps = cfg.capacities()
+    HW = cfg.HEIGHT * cfg.WIDTH
+    nbytes = (caps.max_groups * 5 + 1) * HW * 2 + HW * caps.max_lights * 2
+    return HW >= 256 * 256 and nbytes <= 256 * 1024 * 1024
+
+
 def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
-                     gs: GroupStatic = None, use_pallas: bool = True):
+                     gs: GroupStatic = None, use_pallas: bool = True,
+                     dense_m: jnp.ndarray = None):
     """One segment-sum over the queue labels yields per-group
     (ns_in, ns_out, ew_in, ew_out) queue counts AND the intersection
     occupancy flag (bucket 4) — the njit reducers
@@ -100,6 +147,13 @@ def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
     work drops from O(cells) to O(runs) (~5x at range 10) plus ~16
     vector passes for the prefix planes."""
     G = num_groups
+    if dense_m is not None:
+        q = jnp.matmul(dense_m,
+                       occupancy.reshape(-1).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        q = q[:G * 5].astype(jnp.int32).reshape(G, 5)
+        return (q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT],
+                q[:, 4] > 0)
     if gs is not None:
         P = _prefix_planes(occupancy, use_pallas=use_pallas)
         cnt = P[gs.run_hi] - P[gs.run_lo]
@@ -275,7 +329,8 @@ def execute_phase_change(cfg: Config, ls: LightStatic, gs: GroupStatic,
 
 
 def build_stop_map(grid: Grid, ls: LightStatic,
-                   state: LightsState) -> jnp.ndarray:
+                   state: LightsState,
+                   dense_a: jnp.ndarray = None) -> jnp.ndarray:
     """stop_map from per-light stop flags: a stopped light writes its own
     cell and each assigned controlled road (`cell.py:241-251`).
 
@@ -288,6 +343,13 @@ def build_stop_map(grid: Grid, ls: LightStatic,
     H, W = grid.cell_type.shape
     HW = H * W
     L = ls.valid.shape[0]
+    if dense_a is not None:
+        # dense MXU form (see build_dense_reducers): one bf16 matvec —
+        # batched and matrix-read-amortized under vmap — replaces the
+        # run scatter + two log-shift prefix passes
+        cnt = jnp.matmul(dense_a, state.light_stop.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return (cnt > 0.5).reshape(H, W)
     NH = H * (W + 1)
     NV = (H + 1) * W
 

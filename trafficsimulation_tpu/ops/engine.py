@@ -598,7 +598,8 @@ def routing_planes(cfg: Config, world, es: EngineState):
 
 def step_engine(cfg: Config, world, es: EngineState,
                 sdir: jnp.ndarray = None,
-                spawn_slots: jnp.ndarray = None) -> EngineState:
+                spawn_slots: jnp.ndarray = None,
+                dense: tuple = None) -> EngineState:
     """One simulation tick on the plane representation.  Mirrors the
     reference tick order (`CityModel.step` `city_model.py:1831-1860`) —
     see module docstring for the semantics mapping.
@@ -650,14 +651,17 @@ def step_engine(cfg: Config, world, es: EngineState,
         rl_request = (want, phase_req)
     red = fsm.group_reductions(grid, occupancy, caps.max_groups,
                                gs=world.groups_static,
-                               use_pallas=cfg.USE_PALLAS_ENGINE)
+                               use_pallas=cfg.USE_PALLAS_ENGINE,
+                               dense_m=None if dense is None else dense[0])
     lights = fsm.run_controllers(cfg, grid, world.groups_static, lights,
                                  occupancy, rl_phase_request=rl_request,
                                  reductions=red[:4])
     lights = fsm.execute_phase_change(cfg, world.lights_static,
                                       world.groups_static, lights, red[4])
     lights = fsm.apply_light_overrides(lights, es.overrides.light_force)
-    stop_map = fsm.build_stop_map(grid, world.lights_static, lights)
+    stop_map = fsm.build_stop_map(grid, world.lights_static, lights,
+                                  dense_a=None if dense is None
+                                  else dense[1])
 
     # ---- 2b. pedestrians (config #3 extension) ---------------------------
     peds, ped_map = es.peds, es.ped_map

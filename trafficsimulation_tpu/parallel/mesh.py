@@ -121,8 +121,14 @@ def run_batch_shared(cfg: Config, batch, n_ticks: int):
     Semantically identical to the fully-batched `run_batch` given equal
     per-world state (tested in tests/test_parallel.py)."""
     from ..sim import run_chunk
+    from ..lights.fsm import dense_reducers_profitable
     axes = shared_geometry_axes(batch)
-    return jax.vmap(functools.partial(run_chunk, cfg, n=n_ticks),
+    # dense MXU light reductions: the one-hot geometry matrix is
+    # unbatched (built from the shared grid), so vmap turns the per-world
+    # matvec into ONE batch matmul whose matrix is read from HBM once
+    dense = dense_reducers_profitable(cfg)
+    return jax.vmap(functools.partial(run_chunk, cfg, n=n_ticks,
+                                      dense_reducers=dense),
                     in_axes=(axes,), out_axes=axes)(batch)
 
 

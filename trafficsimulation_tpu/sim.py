@@ -186,7 +186,8 @@ def step_world(cfg: Config, world: World) -> World:
     return _exit_engine(cfg, world, es)
 
 
-def run_chunk(cfg: Config, world: World, n: int) -> World:
+def run_chunk(cfg: Config, world: World, n: int,
+              dense_reducers: bool = False) -> World:
     """Advance n ticks inside nested lax.scans.  The SoA <-> plane
     conversion happens once per chunk; the routing planes are rebuilt at
     the chunk start and then once per PATHFINDING_COOLDOWN ticks — the
@@ -194,10 +195,17 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
     `PATHFINDING_COOLDOWN`=5 ticks (`vehicle_base.py:147`,
     `config.py:409`), so dynamic-penalty staleness within a segment is
     in-spec.  Movement safety is unaffected (live occupancy/stop checks
-    happen per sub-round)."""
+    happen per sub-round).
+
+    `dense_reducers`: run the per-tick light reductions as dense bf16
+    MXU matmuls (fsm.build_dense_reducers) — profitable under vmapped
+    shared-geometry batches where the one-hot matrix is read once for
+    the whole batch (parallel/mesh.run_batch_shared turns it on)."""
     es = _enter_engine(cfg, world)
     R = max(1, cfg.PATHFINDING_COOLDOWN) if cfg.PATHFINDING_CACHE else 1
     S = cfg.capacities().max_spawns_per_tick
+    dense = (fsm.build_dense_reducers(cfg, world.grid, world.lights_static)
+             if dense_reducers else None)
 
     def seg(e, length):
         sdir = engine.routing_planes(cfg, world, e)
@@ -215,7 +223,7 @@ def run_chunk(cfg: Config, world: World, n: int) -> World:
             e2, cur = carry
             sl = jax.lax.dynamic_slice_in_dim(slots0, cur, S)
             e3 = engine.step_engine(cfg, world, e2, sdir=sdir,
-                                    spawn_slots=sl)
+                                    spawn_slots=sl, dense=dense)
             cur = cur + (e3.dem_cursor - e2.dem_cursor)
             return (e3, cur), None
 
