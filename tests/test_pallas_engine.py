@@ -179,3 +179,51 @@ def test_prefix_kernel_matches_xla():
         gh, gv = pallas_engine.prefix_planes_pallas(occ, interpret=True)
         assert np.array_equal(np.asarray(x), np.asarray(gh)), (Hh, Ww)
         assert np.array_equal(np.asarray(y), np.asarray(gv)), (Hh, Ww)
+
+
+def test_batched_sdir_kernel_matches_single():
+    """The batched sdir kernel (shared candidate stack read once per
+    batch, grid=(dest-block, world)) writes EXACTLY what the single-world
+    kernel writes per world, for random stacks/penalties including
+    blocked (BIG) and unreachable (INF_U16) entries."""
+    rng = np.random.default_rng(5)
+    D, Hh, Ww, B = 8, 16, 128, 3
+    Q = rng.integers(0, 70000, (D, 4, Hh, Ww)).astype(np.uint16)
+    pen = rng.integers(0, 3000, (B, 4, Hh, Ww)).astype(np.int32)
+    pen = np.where(rng.random((B, 4, Hh, Ww)) < 0.1, 1 << 17, pen)
+    legal = (rng.random((4, Hh, Ww)) < 0.6).astype(np.int32)
+    single = np.stack([
+        np.asarray(pallas_engine.build_sdir_pallas(
+            CFG, jnp.asarray(Q), jnp.asarray(pen[b]), jnp.asarray(legal),
+            interpret=True)) for b in range(B)])
+    batched = np.asarray(pallas_engine.build_sdir_pallas_batched(
+        CFG, jnp.asarray(Q), jnp.asarray(pen), jnp.asarray(legal),
+        interpret=True))
+    assert np.array_equal(single, batched)
+
+
+def test_sdir_kernel_matches_xla_build():
+    """The packed-key kernel encode (bits, tie order, contra flag,
+    straight bits, none detection) is EXACTLY engine.build_sdir's XLA
+    reference, including unreachable (INF_U16) rows and hard-blocked
+    (2^17-penalty) moves."""
+    rng = np.random.default_rng(9)
+    D, Hh, Ww = 8, 16, 128
+    cfg = CFG
+    Q = rng.integers(0, 60000, (D, 4, Hh, Ww)).astype(np.uint16)
+    Q = np.where(rng.random(Q.shape) < 0.15, 65535, Q).astype(np.uint16)
+    allowed = rng.integers(0, 16, (Hh, Ww)).astype(np.uint8)
+    is_road = rng.random((Hh, Ww)) < 0.7
+    soft2 = rng.integers(0, 5000, (Hh, Ww)).astype(np.int32)
+    hard = rng.random((Hh, Ww)) < 0.1
+    xla = np.asarray(engine.build_sdir(
+        cfg, jnp.asarray(Q), jnp.asarray(allowed), jnp.asarray(is_road),
+        jnp.asarray(soft2), jnp.asarray(hard)))
+    legal, pen_m, _ = engine._entry_costs(
+        cfg, jnp.asarray(allowed), jnp.asarray(is_road),
+        jnp.asarray(soft2), jnp.asarray(hard))
+    pen4 = jnp.stack(pen_m)
+    legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
+    kern = np.asarray(pallas_engine.build_sdir_pallas(
+        cfg, jnp.asarray(Q), pen4, legal4, interpret=True))
+    assert np.array_equal(xla, kern)

@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from trafficsimulation_tpu.config import Config
-from trafficsimulation_tpu.ops import engine
+from trafficsimulation_tpu.ops import engine, pallas_engine
 from trafficsimulation_tpu.lights import fsm
 from trafficsimulation_tpu.sim import init_world, run_chunk, \
     measure_and_shrink
@@ -60,6 +60,9 @@ def build_worlds():
 
 
 def timeit(cfg, worlds, label):
+    only = os.environ.get("PROF_ONLY")
+    if only and only not in label and label != "full tick":
+        return 0.0
     if BATCH > 1:
         from trafficsimulation_tpu.parallel.mesh import run_batch_shared
         f = jax.jit(functools.partial(run_batch_shared, cfg,
@@ -107,7 +110,7 @@ def main():
 
     orig_stop = fsm.build_stop_map
 
-    def cheap_stop(grid, ls, state):
+    def cheap_stop(grid, ls, state, **kw):
         H2, W2 = grid.cell_type.shape
         return jnp.zeros((H2, W2), bool) | state.light_stop.any()
 
@@ -137,7 +140,7 @@ def main():
 
     orig_build = engine.build_sdir
 
-    def cheap_build(cfg_, Q_u16, allowed, is_road, soft2, hard):
+    def cheap_build(cfg_, Q_u16, allowed, is_road, soft2, hard, **kw):
         # dep-preserving: one element of each input feeds the output
         # (avoid x & 0 / sum-based stubs — XLA folds them, NOTES.md)
         D4 = Q_u16.shape[0] // 4
@@ -153,7 +156,7 @@ def main():
 
     orig_wf = engine.build_wavefront
 
-    def cheap_wf(cfg_, allowed, is_road, enter2, hard):
+    def cheap_wf(cfg_, allowed, is_road, enter2, hard, **kw):
         v = ((enter2.sum() + hard.astype(jnp.int32).sum()) & 0).astype(
             jnp.int32)
         return jnp.full(allowed.shape, jnp.int32(engine.ND_NONE4)) | v
@@ -161,6 +164,99 @@ def main():
     engine.build_wavefront = cheap_wf
     timeit(cfg, worlds, "  build_wavefront -> cheap (dep-kept)")
     engine.build_wavefront = orig_wf
+
+    # ---- the decide+move kernel itself: passthrough planes + trivial
+    # flags (dep on stop_map/randoms kept through one element) ----------
+    orig_dm = pallas_engine.decide_move_pallas
+
+    def cheap_dm(cfg_, sdir4, wnd, planes, stop_map, rain_map, ped_bit,
+                 inter, dest_id, randoms, **kw):
+        pa, pb, pc, pd, pe, pl = planes
+        # one-element slices keep every input producer alive (opaque
+        # pallas producers stay whole); the single written flag bit
+        # perturbs at most one metrics counter per tick
+        dep = (sdir4[0, :1, :1].astype(jnp.int32).sum()
+               + wnd[:1, :1].sum()
+               + stop_map[:1, :1].astype(jnp.int32).sum()
+               + randoms[3][:1, :1].astype(jnp.int32).sum())
+        flags = jnp.zeros(pa.shape, jnp.uint32).at[0, 0].set(
+            (dep & 1).astype(jnp.uint32))
+        return (pa, pb, pc, pd, pe, pl, flags)
+
+    pallas_engine.decide_move_pallas = cheap_dm
+    timeit(cfg, worlds, "  decide_move kernel -> passthrough")
+    pallas_engine.decide_move_pallas = orig_dm
+
+    # ---- controllers (FSM vector math), randoms, rain+blocks, density -
+    orig_rc = fsm.run_controllers
+
+    def cheap_rc(cfg_, grid, gs, lights, occupancy, rl_phase_request=None,
+                 reductions=None, **kw):
+        if reductions is not None:
+            dep = reductions[0][:1].sum()
+        else:
+            dep = occupancy.astype(jnp.int32)[:1, :1].sum()
+        return lights.replace(
+            light_stop=lights.light_stop | (dep < -(1 << 30)))
+
+    fsm.run_controllers = cheap_rc
+    timeit(cfg, worlds, "  run_controllers -> passthrough")
+    fsm.run_controllers = orig_rc
+
+    orig_tr = engine.tick_randoms
+
+    def cheap_tr(cfg_, key, H2, W2):
+        b = jax.random.bits(key, (4,), jnp.uint32)
+        z = jnp.zeros((H2, W2), jnp.float32)
+        return (z, z,
+                jnp.full((H2, W2), cfg_.VEHICLE_MIN_SPEED, jnp.int32),
+                jnp.zeros((H2, W2), jnp.uint32) + b[2])
+
+    engine.tick_randoms = cheap_tr
+    timeit(cfg, worlds, "  tick_randoms -> cheap")
+    engine.tick_randoms = orig_tr
+
+    engine._POST_SKIP = frozenset({"rainblocks"})
+    timeit(cfg, worlds, "  rain+blocks -> skipped")
+    engine._POST_SKIP = frozenset({"spawn"})
+    timeit(cfg, worlds, "  demand spawn -> skipped")
+    engine._POST_SKIP = frozenset({"service"})
+    timeit(cfg, worlds, "  service FSM -> skipped")
+    engine._POST_SKIP = frozenset()
+
+    orig_dens = engine.density_map
+
+    def cheap_dens(present, is_road, rng):
+        return present.astype(jnp.float32) * 0.1
+
+    engine.density_map = cheap_dens
+    timeit(cfg, worlds, "  density_map -> cheap")
+    engine.density_map = orig_dens
+
+    # ---- floor: ALL stubs at once — what's left is scan/carry/dispatch
+    # machinery that no stage owns --------------------------------------
+    engine.select_rows = lambda sdir, dest: (sdir[0].astype(jnp.int32)
+                                             | (dest & 0))
+    fsm.group_reductions = cheap_red
+    fsm.build_stop_map = cheap_stop
+    engine._post_move = cheap_post
+    engine.build_sdir = cheap_build
+    engine.build_wavefront = cheap_wf
+    pallas_engine.decide_move_pallas = cheap_dm
+    fsm.run_controllers = cheap_rc
+    engine.tick_randoms = cheap_tr
+    engine.density_map = cheap_dens
+    timeit(cfg, worlds, "  ALL stubs (machinery floor)")
+    engine.select_rows = orig_sel
+    fsm.group_reductions = orig_red
+    fsm.build_stop_map = orig_stop
+    engine._post_move = orig_post
+    engine.build_sdir = orig_build
+    engine.build_wavefront = orig_wf
+    pallas_engine.decide_move_pallas = orig_dm
+    fsm.run_controllers = orig_rc
+    engine.tick_randoms = orig_tr
+    engine.density_map = orig_dens
 
     print(f"\nbaseline {base:.3f} ms/tick-of-{BATCH}; deltas above are "
           "each stage's honest cost")

@@ -90,10 +90,15 @@ def build_dense_reducers(cfg, grid: Grid, ls: LightStatic):
     built ONCE per chunk from static geometry (sim.run_chunk hoists the
     build outside the tick scan):
 
-      M [G*5+1, HW] bf16 — M[g*5+b, c] = 1 iff cell c carries queue
-        label (g, b); queue counts become q = M @ occ.
-      A [HW, L] bf16 — A[c, l] = 1 iff light l stops cell c (own cell +
-        assigned controlled roads); the stop map becomes A @ light_stop.
+      M [HW, G*5+1] bf16 — M[c, g*5+b] = 1 iff cell c carries queue
+        label (g, b); queue counts become q = occ @ M.
+      A [L, HW] bf16 — A[l, c] = 1 iff light l stops cell c (own cell +
+        assigned controlled roads); the stop map becomes light_stop @ A.
+
+    Both are oriented so the CONTRACTED axis is the matrix's leading
+    one: under vmap the batch becomes the product's M axis and the wide
+    output (HW / G*5) fills the 128-lane N axis — the N=batch
+    orientation measured 5x slower (MXU lane underutilization).
 
     Why: sparse run gathers/scatters price ~15-19 cycles per scalar
     ELEMENT on TPU, every tick, per world.  As dense bf16 matmuls the
@@ -109,14 +114,15 @@ def build_dense_reducers(cfg, grid: Grid, ls: LightStatic):
     qg = grid.queue_group.reshape(-1).astype(jnp.int32)
     qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
     seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
-    M = (seg[None, :] == jnp.arange(G * 5 + 1, dtype=jnp.int32)[:, None]
+    M = (seg[:, None] == jnp.arange(G * 5 + 1, dtype=jnp.int32)[None, :]
          ).astype(jnp.bfloat16)
-    A = jnp.zeros((HW, L), jnp.bfloat16)
+    A = jnp.zeros((L, HW), jnp.bfloat16)
     pc = jnp.where(ls.assign_valid, ls.assign_road, HW)
-    A = A.at[pc, jnp.clip(ls.assign_light, 0, L - 1)].set(
+    A = A.at[jnp.clip(ls.assign_light, 0, L - 1), pc].set(
         jnp.bfloat16(1), mode="drop")
-    A = A.at[jnp.where(ls.valid, ls.pos, HW),
-             jnp.arange(L)].set(jnp.bfloat16(1), mode="drop")
+    A = A.at[jnp.arange(L),
+             jnp.where(ls.valid, ls.pos, HW)].set(jnp.bfloat16(1),
+                                                  mode="drop")
     return M, A
 
 
@@ -148,8 +154,8 @@ def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,
     vector passes for the prefix planes."""
     G = num_groups
     if dense_m is not None:
-        q = jnp.matmul(dense_m,
-                       occupancy.reshape(-1).astype(jnp.bfloat16),
+        q = jnp.matmul(occupancy.reshape(-1).astype(jnp.bfloat16),
+                       dense_m,
                        preferred_element_type=jnp.float32)
         q = q[:G * 5].astype(jnp.int32).reshape(G, 5)
         return (q[:, NS_IN], q[:, NS_OUT], q[:, EW_IN], q[:, EW_OUT],
@@ -347,7 +353,7 @@ def build_stop_map(grid: Grid, ls: LightStatic,
         # dense MXU form (see build_dense_reducers): one bf16 matvec —
         # batched and matrix-read-amortized under vmap — replaces the
         # run scatter + two log-shift prefix passes
-        cnt = jnp.matmul(dense_a, state.light_stop.astype(jnp.bfloat16),
+        cnt = jnp.matmul(state.light_stop.astype(jnp.bfloat16), dense_a,
                          preferred_element_type=jnp.float32)
         return (cnt > 0.5).reshape(H, W)
     NH = H * (W + 1)

@@ -28,6 +28,8 @@ lossless pack/unpack at scan boundaries is in `world_to_planes` /
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -181,7 +183,7 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
             and D % 4 == 0:
         pen4 = jnp.stack(pen_m)
         legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
-        return pallas_engine.build_sdir_pallas(cfg, Q_u16, pen4, legal4)
+        return _sdir_op(cfg)(Q_u16, pen4, legal4)
 
     def block(rows):
         """Encode a [DB, 4, H, W] block of candidate rows (vectorized
@@ -227,6 +229,36 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
 
     return pack_sdir4(jax.lax.fori_loop(
         0, nblk, body, jnp.zeros((D, H, W), jnp.uint8)))
+
+
+@functools.lru_cache(maxsize=16)
+def _sdir_op(cfg: Config):
+    """The Pallas sdir build wrapped in a custom_vmap: a vmapped call
+    with a SHARED candidate stack (shared-geometry batches,
+    parallel/mesh.py) routes to the batched kernel that reads the stack
+    from HBM once for the whole batch; everything else falls back to
+    mapping the single-world kernel."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(Q_u16, pen4, legal4):
+        return pallas_engine.build_sdir_pallas(cfg, Q_u16, pen4, legal4)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, Q_u16, pen4, legal4):  # noqa: F811
+        import os
+        qb, pb, lb = in_batched
+        if pb and not qb and not lb \
+                and not os.environ.get("TSIM_SDIR_PLAIN_VMAP"):
+            return pallas_engine.build_sdir_pallas_batched(
+                cfg, Q_u16, pen4, legal4), True
+        out = jax.vmap(
+            functools.partial(pallas_engine.build_sdir_pallas, cfg),
+            in_axes=tuple(0 if b else None for b in in_batched))(
+            Q_u16, pen4, legal4)
+        return out, True
+
+    return op
 
 
 def build_wavefront(cfg: Config, allowed: jnp.ndarray, is_road: jnp.ndarray,

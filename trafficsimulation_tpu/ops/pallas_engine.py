@@ -721,43 +721,88 @@ def pick_tile(cfg: Config, D: int):
 # Streaming sdir (static next-move byte) builder
 # ---------------------------------------------------------------------------
 
-def _sdir_kernel(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref, out_ref):
-    pen = [pen_ref[m] for m in range(4)]
-    legal = [legal_ref[m] != 0 for m in range(4)]
+def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
+    """Shared encode body of the sdir kernels: `qread(d, m)` yields the
+    pre-shifted candidate row (i32), `owrite(g, word)` stores the packed
+    word for destination block g.
+
+    PACKED-KEY form (the build is VPU-bound at large D): the min over
+    keys (cost << 2 | m) carries the argmin for free with the same
+    m-ascending tie order as a compare tree; the chosen move's
+    legality comes from ONE per-cell probe of a packed legal word
+    (dynamic vector shifts lower fine on Mosaic); straight-continuation
+    tests compare keys directly against (bound << 2 | 3).  Costs are
+    capped at KBIG = 2^19: real candidates are < 2^18 (u16 field +
+    <=2^17 blocked penalty), so the cap preserves exactly the
+    `ops.engine.build_sdir` XLA reference's ranking, none-detection and
+    straight bits (equivalence-tested)."""
+    KBIG = jnp.int32(1 << 19)
+    # per-call precomputes, shared across all destination rows
+    lp = (legal[0].astype(jnp.int32) | (legal[1].astype(jnp.int32) << 1)
+          | (legal[2].astype(jnp.int32) << 2)
+          | (legal[3].astype(jnp.int32) << 3))
+    hbit = [jnp.where(legal[h], jnp.int32(1 << (4 + h)), 0)
+            for h in range(4)]
+    one = jnp.int32(1)
     for g in range(DB // 4):
         word = None
         for k in range(4):
-            cands = []
+            keys = []
             for m in range(4):
                 # rows are pre-shifted with static costs folded in
                 # (engine.field_to_u16_shifted): adds/mins only
-                fn = Q_ref[4 * g + k, m].astype(jnp.int32)
-                c = jnp.where(fn >= INF_U16, BIG, fn + pen[m])
-                cands.append(jnp.minimum(c, BIG))
-            best01 = jnp.minimum(cands[0], cands[1])
-            best23 = jnp.minimum(cands[2], cands[3])
-            best = jnp.minimum(best01, best23)
-            arg = jnp.where(
-                best01 <= best23,
-                jnp.where(cands[0] <= cands[1], 0, 1),
-                jnp.where(cands[2] <= cands[3], 2, 3))
-            none = best >= BIG
-            # logical form: Mosaic lacks i1 select lowerings
-            leg_at_arg = (((arg == 0) & legal[0]) | ((arg == 1) & legal[1])
-                          | ((arg == 2) & legal[2])
-                          | ((arg == 3) & legal[3]))
-            contra = ~leg_at_arg
-            enc = arg | (contra.astype(jnp.int32) << 3)
+                fn = qread(4 * g + k, m)
+                c = jnp.where(fn >= INF_U16, KBIG,
+                              jnp.minimum(fn + pen[m], KBIG))
+                keys.append((c << 2) | m)
+            bk = jnp.minimum(jnp.minimum(keys[0], keys[1]),
+                             jnp.minimum(keys[2], keys[3]))
+            best = bk >> 2
+            mstar = bk & 3
+            contra = ((lp >> mstar) & one) ^ one
+            enc = mstar | (contra << 3)
+            bnd2 = (jnp.minimum(best + tp2, KBIG - 1) << 2) | 3
             for h in range(4):
-                ok_h = legal[h] & (cands[h] <= best + tp2) & \
-                    (cands[h] < BIG)
-                enc = enc | (ok_h.astype(jnp.int32) << (4 + h))
-            enc = jnp.where(none, jnp.int32(7), enc)
+                enc = enc | jnp.where(keys[h] <= bnd2, hbit[h], 0)
+            enc = jnp.where(best >= KBIG, jnp.int32(7), enc)
             word = enc if word is None else word | (enc << (8 * k))
+        owrite(g, word)
+
+
+def _sdir_kernel(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref, out_ref):
+    def ow(g, word):
         out_ref[g] = word
 
+    _sdir_body(DB, tp2, INF_U16, BIG,
+               lambda d, m: Q_ref[d, m].astype(jnp.int32),
+               [pen_ref[m] for m in range(4)],
+               [legal_ref[m] != 0 for m in range(4)], ow)
 
-def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4) -> jnp.ndarray:
+
+def _sdir_kernel_batched(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref,
+                         out_ref):
+    # pen_ref [1, 4, H, W] (this grid step's world); out_ref [1, DB/4, ..]
+    def ow(g, word):
+        out_ref[0, g] = word
+
+    _sdir_body(DB, tp2, INF_U16, BIG,
+               lambda d, m: Q_ref[d, m].astype(jnp.int32),
+               [pen_ref[0, m] for m in range(4)],
+               [legal_ref[m] != 0 for m in range(4)], ow)
+
+
+def _sdir_db(D, H, W):
+    """Fat destination blocks: the build is per-grid-step DMA/launch
+    overhead bound (~7 us/step; 160 steps x 16 worlds measured as the
+    whole build cost at 2 MB blocks)."""
+    DB = max(4, min(D, (6 * 1024 * 1024) // (4 * H * W * 2) // 4 * 4))
+    while D % DB != 0:
+        DB -= 4
+    return DB
+
+
+def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4,
+                      interpret: bool = False) -> jnp.ndarray:
     """TPU kernel form of `ops.engine.build_sdir`: streams the
     pre-shifted [D, 4, H, W] candidate stack through VMEM in destination
     blocks and encodes next-move bytes entirely on-chip, writing the
@@ -772,12 +817,7 @@ def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4) -> jnp.ndarray:
     H, W = Q_u16.shape[2], Q_u16.shape[3]
     tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
               if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
-    # fat destination blocks: the build is per-grid-step DMA/launch
-    # overhead bound (~7 us/step; 160 steps x 16 worlds measured as
-    # the whole build cost at 2 MB blocks)
-    DB = max(4, min(D, (6 * 1024 * 1024) // (4 * H * W * 2) // 4 * 4))
-    while D % DB != 0:
-        DB -= 4
+    DB = _sdir_db(D, H, W)
     return pl.pallas_call(
         functools.partial(_sdir_kernel, DB, tp2, E.INF_U16, E.BIG),
         grid=(D // DB,),
@@ -792,7 +832,51 @@ def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4) -> jnp.ndarray:
         out_specs=pl.BlockSpec((DB // 4, H, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D // 4, H, W), jnp.int32),
+        interpret=interpret,
     )(Q_u16, pen4, legal4)
+
+
+def build_sdir_pallas_batched(cfg: Config, Q_u16, pen4b, legal4,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Batched sdir build over a SHARED candidate stack: grid =
+    (dest-block, world) with the world axis iterating fastest, so the Q
+    block's index is unchanged across consecutive steps and Mosaic's
+    pipelining elides the repeated multi-MB DMA — the stack is read from
+    HBM once per SEGMENT for the whole batch instead of once per world
+    (5.4 GB -> 335 MB at B=16, D=640, 256x256).  Wired into
+    `engine.build_sdir` via a custom_vmap rule, so vmapped
+    shared-geometry rollouts (parallel/mesh.run_batch_shared) hit it
+    without callers changing.
+
+    `pen4b`: [B, 4, H, W] per-world dynamic entry costs.
+    Returns [B, D/4, H, W] i32 (pack_sdir4 layout per world)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import engine as E
+
+    D = Q_u16.shape[0]
+    B = pen4b.shape[0]
+    H, W = Q_u16.shape[2], Q_u16.shape[3]
+    tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
+              if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
+    DB = _sdir_db(D, H, W)
+    return pl.pallas_call(
+        functools.partial(_sdir_kernel_batched, DB, tp2, E.INF_U16, E.BIG),
+        grid=(D // DB, B),
+        in_specs=[
+            pl.BlockSpec((DB, 4, H, W), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, H, W), lambda i, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H, W), lambda i, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, DB // 4, H, W),
+                               lambda i, b: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D // 4, H, W), jnp.int32),
+        interpret=interpret,
+    )(Q_u16, pen4b, legal4)
 
 
 # ---------------------------------------------------------------------------
