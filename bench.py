@@ -72,7 +72,10 @@ from trafficsimulation_tpu.sim import init_world, run_chunk, \
 
 H = W = 256
 N_VEHICLES = 10_000
-TICKS = 100
+# ticks per timed executable call: the tunnel's fixed per-call overhead
+# measured ~170 ms (arg shuttling), so short calls understate
+# steady-state throughput — 400-tick chunks amortize it to ~2%
+TICKS = 400
 BATCH = 40
 
 _T0 = time.perf_counter()

@@ -61,7 +61,8 @@ def build_worlds():
 
 def timeit(cfg, worlds, label):
     only = os.environ.get("PROF_ONLY")
-    if only and only not in label and label != "full tick":
+    if only and label != "full tick" \
+            and not any(o in label for o in only.split(",")):
         return 0.0
     if BATCH > 1:
         from trafficsimulation_tpu.parallel.mesh import run_batch_shared
@@ -216,6 +217,10 @@ def main():
     timeit(cfg, worlds, "  tick_randoms -> cheap")
     engine.tick_randoms = orig_tr
 
+    engine._POST_SKIP = frozenset({"arrstack"})
+    timeit(cfg, worlds, "  arrival stats stack -> skipped")
+    engine._POST_SKIP = frozenset({"destio"})
+    timeit(cfg, worlds, "  dest-space gathers/scatters -> skipped")
     engine._POST_SKIP = frozenset({"rainblocks"})
     timeit(cfg, worlds, "  rain+blocks -> skipped")
     engine._POST_SKIP = frozenset({"spawn"})

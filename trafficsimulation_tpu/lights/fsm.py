@@ -85,7 +85,8 @@ def _prefix_planes(occupancy: jnp.ndarray,
     return jnp.concatenate([Ph.reshape(-1), Pv.reshape(-1)])
 
 
-def build_dense_reducers(cfg, grid: Grid, ls: LightStatic):
+def build_dense_reducers(cfg, grid: Grid, ls: LightStatic,
+                         build_m: bool = True, build_a: bool = True):
     """Dense one-hot matrices for the two per-tick geometry reductions,
     built ONCE per chunk from static geometry (sim.run_chunk hoists the
     build outside the tick scan):
@@ -111,30 +112,45 @@ def build_dense_reducers(cfg, grid: Grid, ls: LightStatic):
     HW = H * W
     G = int(cfg.capacities().max_groups)
     L = ls.valid.shape[0]
-    qg = grid.queue_group.reshape(-1).astype(jnp.int32)
-    qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
-    seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
-    M = (seg[:, None] == jnp.arange(G * 5 + 1, dtype=jnp.int32)[None, :]
-         ).astype(jnp.bfloat16)
-    A = jnp.zeros((L, HW), jnp.bfloat16)
-    pc = jnp.where(ls.assign_valid, ls.assign_road, HW)
-    A = A.at[jnp.clip(ls.assign_light, 0, L - 1), pc].set(
-        jnp.bfloat16(1), mode="drop")
-    A = A.at[jnp.arange(L),
-             jnp.where(ls.valid, ls.pos, HW)].set(jnp.bfloat16(1),
-                                                  mode="drop")
+    M = A = None
+    if build_m:
+        qg = grid.queue_group.reshape(-1).astype(jnp.int32)
+        qb = grid.queue_bucket.reshape(-1).astype(jnp.int32)
+        seg = jnp.where(qg >= 0, qg * 5 + qb, G * 5)
+        M = (seg[:, None]
+             == jnp.arange(G * 5 + 1, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    if build_a:
+        A = jnp.zeros((L, HW), jnp.bfloat16)
+        pc = jnp.where(ls.assign_valid, ls.assign_road, HW)
+        A = A.at[jnp.clip(ls.assign_light, 0, L - 1), pc].set(
+            jnp.bfloat16(1), mode="drop")
+        A = A.at[jnp.arange(L),
+                 jnp.where(ls.valid, ls.pos, HW)].set(jnp.bfloat16(1),
+                                                      mode="drop")
     return M, A
 
 
-def dense_reducers_profitable(cfg) -> bool:
-    """Dense reductions pay when the matrix read amortizes over a
-    batched matmul and fits comfortably in HBM next to the field stack:
-    grids >= 256x256 (smaller grids' sparse reductions are cheap) with
-    both matrices under ~256 MB combined."""
+def dense_reducer_modes(cfg) -> tuple:
+    """(use_dense_M, use_dense_A): each dense matrix pays only when its
+    per-tick HBM read beats the sparse form it replaces.  Measured at
+    256x256/B=16: the run-decomposed queue reduction costs ~10 us/tick
+    — the [HW, G*5] one-hot (252 MB at G=384) LOSES unless tiny — while
+    the stop map's scatter + two log-shift prefixes cost ~40 us/tick,
+    so the [L, HW] one-hot (144 MB at L=1152, ~12 us/tick read) wins up
+    to ~192 MB.  Grids under 256x256 keep the sparse forms (cheap
+    anyway)."""
     caps = cfg.capacities()
     HW = cfg.HEIGHT * cfg.WIDTH
-    nbytes = (caps.max_groups * 5 + 1) * HW * 2 + HW * caps.max_lights * 2
-    return HW >= 256 * 256 and nbytes <= 256 * 1024 * 1024
+    m_ok = HW >= 256 * 256 and \
+        (caps.max_groups * 5 + 1) * HW * 2 <= 64 * 1024 * 1024
+    a_ok = HW >= 256 * 256 and \
+        HW * caps.max_lights * 2 <= 192 * 1024 * 1024
+    return m_ok, a_ok
+
+
+def dense_reducers_profitable(cfg) -> bool:
+    return any(dense_reducer_modes(cfg))
 
 
 def group_reductions(grid: Grid, occupancy: jnp.ndarray, num_groups: int,

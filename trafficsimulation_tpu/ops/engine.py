@@ -819,14 +819,20 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     svc_done_p = at_dest_p & (kind >= KIND_FOOD) & (phase_p == 2) & \
         (grid.cell_type == C.HIGHWAY_EXIT)
 
-    arr = jnp.stack([
-        done_i_p.astype(jnp.float32), done_t_p.astype(jnp.float32),
-        jnp.where(done_i_p, dur_p, 0.0), jnp.where(done_t_p, dur_p, 0.0),
-        jnp.where(done_i_p, steps_p, 0.0),
-        jnp.where(done_t_p, steps_p, 0.0),
-        svc_done_p.astype(jnp.float32),
-        jnp.where(svc_done_p, dur_p, 0.0),
-        jnp.where(svc_done_p, steps_p, 0.0)]).sum(axis=(1, 2))
+    if "arrstack" in _POST_SKIP:
+        arr = jnp.zeros((9,), jnp.float32) + done_i_p[:1, :1].sum() \
+            + dur_p[:1, :1].sum() + steps_p[:1, :1].sum() \
+            + svc_done_p[:1, :1].sum()
+    else:
+        arr = jnp.stack([
+            done_i_p.astype(jnp.float32), done_t_p.astype(jnp.float32),
+            jnp.where(done_i_p, dur_p, 0.0),
+            jnp.where(done_t_p, dur_p, 0.0),
+            jnp.where(done_i_p, steps_p, 0.0),
+            jnp.where(done_t_p, steps_p, 0.0),
+            svc_done_p.astype(jnp.float32),
+            jnp.where(svc_done_p, dur_p, 0.0),
+            jnp.where(svc_done_p, steps_p, 0.0)]).sum(axis=(1, 2))
     n_svc_done = arr[6].astype(jnp.int32)
     m = m.replace(
         completed_internal=m.completed_internal + arr[0].astype(jnp.int32),
@@ -843,10 +849,16 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
 
     # ---- service FSM (dest space: per-destination read-modify-write) ------
     paf = pa.reshape(-1)
-    pa_d = paf[dpos]
-    pd_d = pd.reshape(-1)[dpos]
-    pe_d = pe.reshape(-1)[dpos]
-    pl_d = pl.reshape(-1)[dpos]
+    if "destio" in _POST_SKIP:
+        zD = jnp.zeros((Dall,), jnp.uint32) + paf[:1].sum() \
+            + pd.reshape(-1)[:1].sum() + pe.reshape(-1)[:1].sum()
+        pa_d, pd_d, pe_d = zD, zD, zD
+        pl_d = jnp.zeros((Dall,), jnp.float32) + pl.reshape(-1)[:1].sum()
+    else:
+        pa_d = paf[dpos]
+        pd_d = pd.reshape(-1)[dpos]
+        pe_d = pe.reshape(-1)[dpos]
+        pl_d = pl.reshape(-1)[dpos]
     is_here = dests.valid & ((pa_d & 1) == 1) & \
         (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
     kind_d = _fld(pa_d, PA_KIND_SH, 2)
@@ -914,9 +926,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pd_d_new = (_u32(phase_d)
                 | (_u32(jnp.clip(timer_d, 0, 255)) << PD_TIMER_SH)
                 | (_u32(new_sb) << PD_BLOCK_SH))
-    pa = pa.reshape(-1).at[tpos].set(pa_d_new, mode="drop").reshape(H, W)
-    pd = pd.reshape(-1).at[tpos].set(pd_d_new, mode="drop").reshape(H, W)
-    pl = pl.reshape(-1).at[tpos].set(pl_d, mode="drop").reshape(H, W)
+    if "destio" not in _POST_SKIP:
+        pa = pa.reshape(-1).at[tpos].set(pa_d_new,
+                                         mode="drop").reshape(H, W)
+        pd = pd.reshape(-1).at[tpos].set(pd_d_new,
+                                         mode="drop").reshape(H, W)
+        pl = pl.reshape(-1).at[tpos].set(pl_d, mode="drop").reshape(H, W)
 
     # ---- despawns (plane-space; slot bookkeeping via the dest gather) -----
     despawn = done_i_p | done_t_p | svc_done_p

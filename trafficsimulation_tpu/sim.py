@@ -204,8 +204,13 @@ def run_chunk(cfg: Config, world: World, n: int,
     es = _enter_engine(cfg, world)
     R = max(1, cfg.PATHFINDING_COOLDOWN) if cfg.PATHFINDING_CACHE else 1
     S = cfg.capacities().max_spawns_per_tick
-    dense = (fsm.build_dense_reducers(cfg, world.grid, world.lights_static)
-             if dense_reducers else None)
+    if dense_reducers:
+        m_ok, a_ok = fsm.dense_reducer_modes(cfg)
+        dense = fsm.build_dense_reducers(cfg, world.grid,
+                                         world.lights_static,
+                                         build_m=m_ok, build_a=a_ok)
+    else:
+        dense = None
 
     def seg(e, length):
         sdir = engine.routing_planes(cfg, world, e)
