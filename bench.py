@@ -74,8 +74,8 @@ H = W = 256
 N_VEHICLES = 10_000
 # ticks per timed executable call: the tunnel's fixed per-call overhead
 # measured ~170 ms (arg shuttling), so short calls understate
-# steady-state throughput — 400-tick chunks amortize it to ~2%
-TICKS = 400
+# steady-state throughput — 800-tick chunks amortize it to well under 1%
+TICKS = 800
 BATCH = 40
 
 _T0 = time.perf_counter()

@@ -238,6 +238,21 @@ def main():
     timeit(cfg, worlds, "  density_map -> cheap")
     engine.density_map = orig_dens
 
+    # ---- combos: where does the cross-stage interaction live? ---------
+    engine.build_sdir = cheap_build
+    pallas_engine.decide_move_pallas = cheap_dm
+    timeit(cfg, worlds, "  combo: sdir+decide stubbed")
+    engine.build_sdir = orig_build
+    pallas_engine.decide_move_pallas = orig_dm
+
+    engine._post_move = cheap_post
+    fsm.build_stop_map = cheap_stop
+    fsm.group_reductions = cheap_red
+    timeit(cfg, worlds, "  combo: post+stop+group stubbed")
+    engine._post_move = orig_post
+    fsm.build_stop_map = orig_stop
+    fsm.group_reductions = orig_red
+
     # ---- floor: ALL stubs at once — what's left is scan/carry/dispatch
     # machinery that no stage owns --------------------------------------
     engine.select_rows = lambda sdir, dest: (sdir[0].astype(jnp.int32)
