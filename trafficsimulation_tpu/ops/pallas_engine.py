@@ -743,6 +743,12 @@ def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
           | (legal[3].astype(jnp.int32) << 3))
     hbit = [jnp.where(legal[h], jnp.int32(1 << (4 + h)), 0)
             for h in range(4)]
+    # (pen << 2) | m: both key addends keep the low direction bits
+    # clear, so (fn << 2) + keybase == ((fn + pen) << 2) | m — and real
+    # candidates never reach KBIG (u16 field + <= 2^17 blocked penalty
+    # < 2^18), so no cap is needed on the reachable branch
+    keybase = [(pen[m] << 2) | m for m in range(4)]
+    kbigkey = [(KBIG << 2) | m for m in range(4)]
     one = jnp.int32(1)
     for g in range(DB // 4):
         word = None
@@ -752,9 +758,8 @@ def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
                 # rows are pre-shifted with static costs folded in
                 # (engine.field_to_u16_shifted): adds/mins only
                 fn = qread(4 * g + k, m)
-                c = jnp.where(fn >= INF_U16, KBIG,
-                              jnp.minimum(fn + pen[m], KBIG))
-                keys.append((c << 2) | m)
+                keys.append(jnp.where(fn >= INF_U16, kbigkey[m],
+                                      (fn << 2) + keybase[m]))
             bk = jnp.minimum(jnp.minimum(keys[0], keys[1]),
                              jnp.minimum(keys[2], keys[3]))
             best = bk >> 2
