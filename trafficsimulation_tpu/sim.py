@@ -627,9 +627,16 @@ def measure_and_shrink(cfg: Config, world: World):
                          int(np.asarray(world.grid.queue_group).max()),
                          int(np.asarray(ls.group).max())) + 2)
     n_blocks = _pow2(int(np.asarray(world.grid.block_id).max()) + 2)
-    n_dests = _pow2(int(np.asarray(dests.valid).sum()) + 1)
+    n_valid_dests = int(np.asarray(dests.valid).sum())
+    n_dests = _pow2(n_valid_dests + 1)
     n_exits = _pow2(int(np.asarray(dests.hw_valid).sum()) + 1)
-    DF = min(world.cost_field.shape[0], n_dests)
+    # Field rows need only cover the valid (front-compacted) destination
+    # ids — round to a multiple of 8 (kernel block granularity), not
+    # pow2: every D-proportional stage (build_sdir encode, the packed
+    # sdir4 HBM stream into the decide+move kernel, the in-kernel row
+    # select) scales with DF, and the flagship 256x256 world has ~586
+    # valid dests vs a 640-row configured cap.
+    DF = min(world.cost_field.shape[0], max(8, (n_valid_dests + 7) // 8 * 8))
 
     n_lights = min(n_lights, caps.max_lights)
     n_assign = min(n_assign, ls.assign_valid.shape[0])
