@@ -221,7 +221,8 @@ def bench_config3():
     return {"config": "pedestrians 256x256",
             "steps_per_sec": round(sps, 1),
             "cell_updates_per_sec": round(sps * H * W, 1),
-            "active_pedestrians": int(np.asarray(w2.peds.active).sum()),
+            "active_pedestrians": int(np.asarray(w2.peds.walk).sum()
+                                      + np.asarray(w2.peds.cross).sum()),
             "active_vehicles": int(np.asarray(w2.vehicles.active).sum())}
 
 

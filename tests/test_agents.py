@@ -116,16 +116,23 @@ def test_pedestrians_walk_on_sidewalks(small_cfg):
     sim = TrafficSim(cfg, seed=1)
     sim.step(100)
     w = sim.world
-    active = np.asarray(w.peds.active)
-    assert active.sum() > 0
-    pos = np.asarray(w.peds.pos)[active]
-    ct = np.asarray(w.grid.cell_type).reshape(-1)
-    crossing = np.asarray(w.peds.crossing)[active]
-    walk_ok = np.isin(ct[pos], [C.SIDEWALK, C.BLOCK_ENTRANCE,
-                                C.TRAFFIC_LIGHT])
-    road_ok = np.isin(ct[pos], [C.CONTROLLED_ROAD, C.R1, C.R2, C.R3,
-                                C.INTERSECTION])
-    assert np.all(walk_ok | (crossing & road_ok))
+    walk = np.asarray(w.peds.walk).sum(axis=0)       # [H, W] counts
+    cross = np.asarray(w.peds.cross).sum(axis=0)
+    assert walk.sum() + cross.sum() > 0
+    ct = np.asarray(w.grid.cell_type)
+    walk_ok = np.isin(ct, [C.SIDEWALK, C.BLOCK_ENTRANCE,
+                           C.TRAFFIC_LIGHT])
+    road_ok = np.isin(ct, [C.CONTROLLED_ROAD, C.R1, C.R2, C.R3,
+                           C.INTERSECTION])
+    # walkers only ever on walkable cells; crossers on walkable or road
+    assert int(walk[~walk_ok].sum()) == 0
+    assert int(cross[~(walk_ok | road_ok)].sum()) == 0
+    # spawn volume matches expectation: ~100 ticks at lam ~= 13.9/tick,
+    # minus geometric thinning — far beyond the old 16/tick cap's reach
+    ticks_per_day = 86400 // cfg.TIME_PER_STEP_IN_SECONDS
+    lam = cfg.PEDESTRIANS_PER_DAY / ticks_per_day
+    expect = lam * 100
+    assert 0.5 * expect < walk.sum() + cross.sum() < 1.5 * expect
 
 
 # ---------------------------------------------------------------------------

@@ -88,9 +88,8 @@ def make_world(cfg: Config, cell, dirs, road_class, dest_cells):
         demand=demand, metrics=init_metrics(),
         overrides=Overrides(light_force=jnp.full((L,), -1, jnp.int8),
                             spawn_rain=jnp.bool_(False)),
-        peds=init_pedestrians(8),
+        peds=init_pedestrians(H, W, False),
         ped_map=jnp.zeros((H, W), jnp.int32),
-        ped_spawn_cells=jnp.full((16,), -1, jnp.int32),
         tick=jnp.int32(0), elapsed=jnp.float32(0.0),
         key=jax.random.PRNGKey(0))
 

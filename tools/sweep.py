@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from trafficsimulation_tpu.config import Config
 from trafficsimulation_tpu.parallel.mesh import (make_mesh,
                                                  init_world_batch,
-                                                 run_batch, fleet_metrics)
+                                                 run_batch, fleet_metrics,
+                                                 assert_demand_window)
 
 
 def run_group(cfg: Config, n_worlds: int, ticks: int, seed: int,
@@ -41,6 +42,9 @@ def run_group(cfg: Config, n_worlds: int, ticks: int, seed: int,
         from trafficsimulation_tpu.sim import assert_world_fits
         assert_world_fits(cfg, worlds)
     roll = jax.jit(functools.partial(run_batch, cfg, n_ticks=ticks))
+    # the in-run_batch demand guard is a no-op under jit tracing — check
+    # the CONCRETE worlds before each compiled rollout (2x ticks total)
+    assert_demand_window(cfg, worlds, 2 * ticks)
     worlds = jax.block_until_ready(roll(worlds))   # compile + warm
     t0 = time.perf_counter()
     worlds = jax.block_until_ready(roll(worlds))

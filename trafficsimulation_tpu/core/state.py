@@ -272,10 +272,10 @@ class World:
     demand: Demand
     metrics: Metrics
     overrides: Overrides
-    # pedestrians (BASELINE config #3 extension)
+    # pedestrians (BASELINE config #3 extension): count planes, see
+    # agents/pedestrians.py (walk/cross i32 [4, H, W])
     peds: object                # agents.pedestrians.Pedestrians
     ped_map: jnp.ndarray        # i32 [H, W] pedestrian count per cell
-    ped_spawn_cells: jnp.ndarray  # i32 [S] sidewalk spawn candidates (-1 pad)
     # clock
     tick: jnp.ndarray           # i32 []
     elapsed: jnp.ndarray        # f32 [] sim-seconds since start

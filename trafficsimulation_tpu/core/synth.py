@@ -88,7 +88,7 @@ def assemble_world(cfg: Config, grid: Grid, ls, gs, bs, dests, demand,
     from ..ops import engine, routing
     from ..agents.rain import init_rain_state
     from ..agents.blocks import init_blocks_state
-    from ..agents.pedestrians import init_pedestrians, ped_capacity
+    from ..agents.pedestrians import init_pedestrians
     from ..lights import fsm
     from ..sim import init_vehicles, init_metrics, _nearest_exit_table
 
@@ -119,13 +119,8 @@ def assemble_world(cfg: Config, grid: Grid, ls, gs, bs, dests, demand,
         overrides=Overrides(
             light_force=jnp.full((ls.valid.shape[0],), -1, jnp.int8),
             spawn_rain=jnp.bool_(False)),
-        peds=init_pedestrians(ped_capacity(cfg)
-                              if cfg.PEDESTRIANS_ENABLED else 8),
+        peds=init_pedestrians(H, W, cfg.PEDESTRIANS_ENABLED),
         ped_map=jnp.zeros((H, W), jnp.int32),
-        ped_spawn_cells=jnp.nonzero(
-            np.asarray(grid.cell_type == C.SIDEWALK).reshape(-1),
-            )[0][:4096].astype(np.int32) if cfg.PEDESTRIANS_ENABLED
-        else jnp.full((16,), -1, jnp.int32),
         tick=jnp.int32(0), elapsed=jnp.float32(0.0),
         key=key, rl=rl)
 

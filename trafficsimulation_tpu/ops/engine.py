@@ -701,11 +701,8 @@ def step_engine(cfg: Config, world, es: EngineState,
     if cfg.PEDESTRIANS_ENABLED:
         from ..agents.pedestrians import step_pedestrians
         key, k_ped = jax.random.split(key)
-        peds, ped_block, ped_count = step_pedestrians(
-            cfg, H, W, peds, grid.cell_type.reshape(-1),
-            stop_map.reshape(-1), world.ped_spawn_cells, k_ped)
-        ped_map = ped_count.reshape(H, W)
-        ped_plane = ped_block.reshape(H, W)
+        peds, ped_plane, ped_map = step_pedestrians(
+            cfg, H, W, peds, grid.cell_type, stop_map, k_ped)
 
     # ---- 3+4. decide + movement (fused core; Pallas on TPU) ---------------
     # (`step_decide`/`step`/`_execute_movement` `vehicle_base.py:616-753`

@@ -46,7 +46,49 @@ def batched_step(cfg: Config):
     return jax.vmap(functools.partial(step_world, cfg))
 
 
+def demand_ticks_remaining(worlds) -> int:
+    """Host-side: how many more ticks the pre-generated trip table
+    covers, min over the batch (last valid depart tick − current tick).
+    Accepts a single world, a fully-batched batch (per-world tables) or
+    a shared-geometry batch (one table, per-world cursors)."""
+    dem = worlds.demand
+    depart = np.asarray(dem.depart_tick)
+    valid = np.asarray(dem.valid)
+    tick = np.asarray(worlds.tick)
+    last = np.where(valid, depart, -1).max(axis=-1)   # scalar or [B]
+    return int(np.min(last) - np.max(tick))
+
+
+def assert_demand_window(cfg: Config, worlds, n_ticks: int) -> None:
+    """Fail LOUDLY when a batched rollout would outrun the pre-generated
+    demand table (VERDICT r3 weak #5): the host wrapper regenerates at
+    this point (`sim.TrafficSim._maybe_extend_demand`), but a batched
+    scan cannot — past the table, spawning silently stops (the reference
+    regenerates at day rollover, `dynamic_traffic_generator.py:161-179`).
+
+    No-op under tracing (a jitted caller cannot host-check; `tools/
+    sweep.py` and any custom jit wrapper must call this on the CONCRETE
+    worlds before invoking the compiled rollout, as the batch runners
+    below do on their plain-host path)."""
+    if isinstance(worlds.tick, jax.core.Tracer):
+        return
+    rem = demand_ticks_remaining(worlds)
+    if n_ticks > rem:
+        dt = cfg.TIME_PER_STEP_IN_SECONDS
+        raise RuntimeError(
+            f"batched rollout of {n_ticks} ticks outruns the pre-"
+            f"generated demand table ({rem} ticks of coverage left at "
+            f"tick {int(np.max(np.asarray(worlds.tick)))}): spawning "
+            "would silently stop mid-rollout.  Regenerate the table "
+            "first (agents.demand.generate_days from the current day, "
+            f"as sim.TrafficSim._maybe_extend_demand does), raise "
+            f"DEMAND_PREGEN_DAYS (= {cfg.DEMAND_PREGEN_DAYS}, "
+            f"{int(cfg.DEMAND_PREGEN_DAYS * 86400 / dt)} ticks), or "
+            "roll out in shorter chunks re-generating between them.")
+
+
 def run_batch(cfg: Config, worlds, n_ticks: int):
+    assert_demand_window(cfg, worlds, n_ticks)
     step = batched_step(cfg)
 
     def body(ws, _):
@@ -65,7 +107,7 @@ def run_batch(cfg: Config, worlds, n_ticks: int):
 # (conflict priorities, faults, rain).
 SHARED_GEOMETRY_FIELDS = frozenset({
     "grid", "lights_static", "groups_static", "blocks_static", "dests",
-    "cost_field", "nearest_exit", "ped_spawn_cells"})
+    "cost_field", "nearest_exit"})
 _DEMAND_DYNAMIC = frozenset({"cursor"})
 
 
@@ -122,6 +164,7 @@ def run_batch_shared(cfg: Config, batch, n_ticks: int):
     per-world state (tested in tests/test_parallel.py)."""
     from ..sim import run_chunk
     from ..lights.fsm import dense_reducers_profitable
+    assert_demand_window(cfg, batch, n_ticks)
     axes = shared_geometry_axes(batch)
     # dense MXU light reductions: the one-hot geometry matrix is
     # unbatched (built from the shared grid), so vmap turns the per-world

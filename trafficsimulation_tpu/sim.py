@@ -34,8 +34,7 @@ from .agents import demand as demand_mod
 from .agents.blocks import (init_blocks_state, step_blocks, food_shortage,
                             waste_surplus)
 from .agents.rain import init_rain_state, step_rain
-from .agents.pedestrians import (init_pedestrians, ped_capacity,
-                                 step_pedestrians)
+from .agents.pedestrians import init_pedestrians
 
 KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
 
@@ -115,12 +114,8 @@ def init_world(cfg: Config, key) -> World:
         rain=init_rain_state(cfg),
         demand=dem,
         metrics=init_metrics(),
-        peds=init_pedestrians(ped_capacity(cfg)
-                              if cfg.PEDESTRIANS_ENABLED else 8),
+        peds=init_pedestrians(H, W, cfg.PEDESTRIANS_ENABLED),
         ped_map=jnp.zeros((H, W), jnp.int32),
-        ped_spawn_cells=jnp.nonzero(
-            (grid.cell_type == C.SIDEWALK).reshape(-1),
-            size=4096, fill_value=-1)[0].astype(jnp.int32),
         overrides=Overrides(
             light_force=jnp.full((caps.max_lights,), -1, jnp.int8),
             spawn_rain=jnp.bool_(False)),
@@ -591,6 +586,17 @@ def assert_world_fits(cfg: Config, world: World) -> None:
         a = np.asarray(arr)
         if a.reshape(-1, a.shape[-1]).all(axis=-1).any():
             sat.append(name)
+    # MAX_FIELD_DESTS coverage (ADVICE r3): valid dests beyond the field
+    # cap get NO routing field (exit-fallback / demand resampling,
+    # visible only via blocks_unroutable_no_field) — flag a reached cap
+    # exactly like a saturated table (exact fit also raises; bump by one
+    # granule to clear)
+    D_field = world.cost_field.shape[-4]
+    dv = np.asarray(world.dests.valid)
+    n_valid = dv.reshape(-1, dv.shape[-1]).sum(axis=-1)
+    if (n_valid >= D_field).any():
+        sat.append(f"MAX_FIELD_DESTS (field rows {D_field}, world has "
+                   f">= {int(n_valid.max())} valid dests)")
     if sat:
         raise RuntimeError(
             f"capacity table(s) saturated for this world: {sat} — the "
@@ -631,12 +637,20 @@ def measure_and_shrink(cfg: Config, world: World):
     n_dests = _pow2(n_valid_dests + 1)
     n_exits = _pow2(int(np.asarray(dests.hw_valid).sum()) + 1)
     # Field rows need only cover the valid (front-compacted) destination
-    # ids — round to a multiple of 8 (kernel block granularity), not
-    # pow2: every D-proportional stage (build_sdir encode, the packed
-    # sdir4 HBM stream into the decide+move kernel, the in-kernel row
-    # select) scales with DF, and the flagship 256x256 world has ~586
-    # valid dests vs a 640-row configured cap.
-    DF = min(world.cost_field.shape[0], max(8, (n_valid_dests + 7) // 8 * 8))
+    # ids — round to a multiple of 32, not pow2: every D-proportional
+    # stage (build_sdir encode, the packed sdir4 HBM stream into the
+    # decide+move kernel, the in-kernel row select) scales with DF, and
+    # the flagship 256x256 world has ~586 valid dests vs a 640-row
+    # configured cap.  The hard kernel constraint is only DF % 4 == 0
+    # (pack_sdir4's 4-rows-per-word layout; ops/engine.py Pallas gate),
+    # but 32 is divisor-rich so `pallas_engine._sdir_db`'s exact-divisor
+    # search keeps fat destination blocks on mid-size grids (ADVICE r3:
+    # multiples of 8 like 592=16*37 starved it to launch-overhead-bound
+    # blocks at 128x128).
+    # +1 slack so an exact-multiple world doesn't trip the
+    # assert_world_fits "reached cap == maybe truncated" convention
+    DF = min(world.cost_field.shape[0],
+             max(32, (n_valid_dests + 32) // 32 * 32))
 
     n_lights = min(n_lights, caps.max_lights)
     n_assign = min(n_assign, ls.assign_valid.shape[0])
