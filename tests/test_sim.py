@@ -105,11 +105,17 @@ def test_assert_world_fits_flags_saturated_caps(small_cfg, small_world):
     from trafficsimulation_tpu.sim import (measure_and_shrink,
                                            assert_world_fits)
     cfg2, world2 = measure_and_shrink(small_cfg, small_world)
-    assert_world_fits(cfg2, world2)   # the measured world itself fits
+    # the measured world fits its shrunk TABLES; SMALL deliberately
+    # under-provisions MAX_FIELD_DESTS (32 rows < valid dests), which
+    # must surface as a visible WARNING, not a raise (ADVICE r3: reached
+    # field cap = degraded routing mode, not truncation)
+    with pytest.warns(RuntimeWarning, match="MAX_FIELD_DESTS"):
+        assert_world_fits(cfg2, world2)
 
     bad = world2.replace(lights_static=world2.lights_static.replace(
         valid=jax.numpy.ones_like(world2.lights_static.valid)))
-    with pytest.raises(RuntimeError, match="saturated"):
+    with pytest.raises(RuntimeError, match="saturated"), \
+            pytest.warns(RuntimeWarning, match="MAX_FIELD_DESTS"):
         assert_world_fits(cfg2, bad)
 
 

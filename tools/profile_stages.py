@@ -227,6 +227,9 @@ def main():
     timeit(cfg, worlds, "  demand spawn -> skipped")
     engine._POST_SKIP = frozenset({"service"})
     timeit(cfg, worlds, "  service FSM -> skipped")
+    engine._POST_SKIP = frozenset(
+        {"arrstack", "destio", "rainblocks", "spawn", "service"})
+    timeit(cfg, worlds, "  post: ALL sections skipped")
     engine._POST_SKIP = frozenset()
 
     orig_dens = engine.density_map

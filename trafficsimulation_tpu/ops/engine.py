@@ -913,8 +913,11 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     phase_d = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase_d))
     parked_d = parked_d & ~finish
 
-    # scatter the updated service state back (3 planes; untouched
-    # destinations write out of bounds and drop)
+    # updated service state (applied below in ONE combined scatter per
+    # plane together with despawns and spawns — each extra scatter/where
+    # over the full planes is an unfusable read+write pass, and the
+    # former 3 service scatters + 6 despawn wheres + 6 spawn scatters
+    # were most of post_move's unattributed cost)
     tpos = jnp.where(is_svc, dpos, HW)
     pa_d_new = (pa_d & ~jnp.uint32((1 << PA_PARKED_SH)
                                    | (DEST_NONE << PA_DEST_SH))) \
@@ -923,17 +926,12 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     pd_d_new = (_u32(phase_d)
                 | (_u32(jnp.clip(timer_d, 0, 255)) << PD_TIMER_SH)
                 | (_u32(new_sb) << PD_BLOCK_SH))
-    if "destio" not in _POST_SKIP:
-        pa = pa.reshape(-1).at[tpos].set(pa_d_new,
-                                         mode="drop").reshape(H, W)
-        pd = pd.reshape(-1).at[tpos].set(pd_d_new,
-                                         mode="drop").reshape(H, W)
-        pl = pl.reshape(-1).at[tpos].set(pl_d, mode="drop").reshape(H, W)
 
-    # ---- despawns (plane-space; slot bookkeeping via the dest gather) -----
+    # ---- despawns (slot bookkeeping via the dest gather) ------------------
     despawn = done_i_p | done_t_p | svc_done_p
 
-    if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
+    stuck_kill = cfg.VEHICLE_STUCK_DESPAWN_ENABLED
+    if stuck_kill:
         stuck_v = _fld(pb, PB_STUCK_SH, 12)
         thr = jnp.where(grid.intersection,
                         cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
@@ -950,6 +948,7 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         slotk = jnp.where(despawn.reshape(-1), pe.reshape(-1).astype(
             jnp.int32), V)
         slot_used = slot_used.at[slotk].set(False, mode="drop")
+        despawn_d = despawn.reshape(-1)[dpos]
     else:
         # arrivals only happen at destination cells: free those slots
         # with a Dall-sized scatter (pe rows already gathered)
@@ -961,13 +960,15 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
             jnp.where(despawn_d, jnp.clip(slot_f, 0, V - 1), V)].set(
             False, mode="drop")
 
-    z32 = jnp.uint32(0)
-    pa = jnp.where(despawn, z32, pa)
-    pb = jnp.where(despawn, z32, pb)
-    pc = jnp.where(despawn, z32, pc)
-    pd = jnp.where(despawn, z32, pd)
-    pe = jnp.where(despawn, z32, pe)
-    pl = jnp.where(despawn, jnp.float32(0), pl)
+    if stuck_kill:
+        # kills can happen ANYWHERE on the grid: plane-wide clears
+        z32 = jnp.uint32(0)
+        pa = jnp.where(despawn, z32, pa)
+        pb = jnp.where(despawn, z32, pb)
+        pc = jnp.where(despawn, z32, pc)
+        pd = jnp.where(despawn, z32, pd)
+        pe = jnp.where(despawn, z32, pe)
+        pl = jnp.where(despawn, jnp.float32(0), pl)
     paf = pa.reshape(-1)
 
     # ---- demand spawning (trip table pre-generated; see agents/demand) ----
@@ -992,7 +993,9 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     slots = spawn_slots
     can = due & (slots >= 0)
     org = jnp.clip(dem.origin[j], 0, HW - 1)
-    occupied = (paf[org] & 1) == 1
+    # a cell whose occupant despawned THIS tick is free for spawning
+    # (the despawn clear is folded into the combined scatter below)
+    occupied = ((paf[org] & 1) == 1) & ~despawn.reshape(-1)[org]
     # two same-tick spawns at one entrance: lowest batch index wins
     # (an [S, S] compare beats a [HW]-sized scatter table at S = 64)
     sidx = jnp.arange(S)
@@ -1025,13 +1028,40 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     spawn_pl = jnp.where(tkind == KIND_FOOD,
                          jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD), 0.0)
     zS = jnp.zeros((S,), jnp.uint32)
-    pa = paf.at[scell].set(spawn_pa, mode="drop").reshape(H, W)
-    pb = pb.reshape(-1).at[scell].set(zS, mode="drop").reshape(H, W)
-    pc = pc.reshape(-1).at[scell].set(spawn_pc, mode="drop").reshape(H, W)
-    pd = pd.reshape(-1).at[scell].set(spawn_pd, mode="drop").reshape(H, W)
-    pe = pe.reshape(-1).at[scell].set(
-        _u32(jnp.clip(slots, 0, V - 1)), mode="drop").reshape(H, W)
-    pl = pl.reshape(-1).at[scell].set(spawn_pl, mode="drop").reshape(H, W)
+
+    # ---- ONE combined scatter per plane: service RMW rows + despawn
+    # clears (dest cells) + spawns.  Index sets are disjoint by
+    # construction: a spawn requires its cell free of any (surviving OR
+    # despawning) occupant, and a despawning/service row whose cell a
+    # spawn claims is masked to the drop index; at[].set with duplicate
+    # indices would be unordered.
+    sp_mask = jnp.zeros((HW + 1,), bool).at[scell].set(
+        place, mode="drop")[:HW]
+    claimed = sp_mask[dpos]
+    if "destio" in _POST_SKIP:
+        row = jnp.full((Dall,), HW)
+    else:
+        row = jnp.where((is_svc | despawn_d) & ~claimed, dpos, HW)
+    zrow = jnp.where(despawn_d & ~claimed, dpos, HW)  # zero-only planes
+    idx = jnp.concatenate([row, scell])
+    idxz = jnp.concatenate([zrow, scell])
+    zD = jnp.zeros((Dall,), jnp.uint32)
+
+    def put(plane, ix, vals, reshape_back=True):
+        out = plane.reshape(-1).at[ix].set(vals, mode="drop")
+        return out.reshape(H, W) if reshape_back else out
+
+    dz = despawn_d
+    pa = put(pa, idx, jnp.concatenate([jnp.where(dz, 0, pa_d_new),
+                                       spawn_pa]))
+    pd = put(pd, idx, jnp.concatenate([jnp.where(dz, 0, pd_d_new),
+                                       spawn_pd]))
+    pl = put(pl, idx, jnp.concatenate([jnp.where(dz, 0.0, pl_d),
+                                       spawn_pl]))
+    pb = put(pb, idxz, jnp.concatenate([zD, zS]))
+    pc = put(pc, idxz, jnp.concatenate([zD, spawn_pc]))
+    pe = put(pe, idxz, jnp.concatenate(
+        [zD, _u32(jnp.clip(slots, 0, V - 1))]))
     slot_used = slot_used.at[jnp.where(place, slots, V)].set(
         True, mode="drop")
     cursor = cursor + jnp.sum(due)

@@ -575,8 +575,19 @@ def assert_world_fits(cfg: Config, world: World) -> None:
     raises AssertionError when a padded table is completely full, the
     signature of truncation (an exact fit is indistinguishable and also
     flagged — raise the cap by one to clear it).  Accepts a single world
-    or a batch (leading dim) of worlds."""
+    or a batch (leading dim) of worlds.
+
+    Field-row coverage (ADVICE r3) is checked too, but as a visible
+    `warnings.warn` rather than a raise: valid dests beyond the field
+    cap get NO routing field (exit-fallback / demand resampling) — a
+    documented degraded MODE with its own counter
+    (`blocks_unroutable_no_field`), not table corruption, and configs
+    under-provision MAX_FIELD_DESTS deliberately (sweeps, synthetic test
+    worlds).  The warning fires when a different seed's valid-dest count
+    reaches the (possibly measure-shrunk) row count, so the degradation
+    is never silent."""
     import numpy as np
+    import warnings
     sat = []
     for name, arr in (("max_lights", world.lights_static.valid),
                       ("max_groups", world.groups_static.valid),
@@ -586,17 +597,17 @@ def assert_world_fits(cfg: Config, world: World) -> None:
         a = np.asarray(arr)
         if a.reshape(-1, a.shape[-1]).all(axis=-1).any():
             sat.append(name)
-    # MAX_FIELD_DESTS coverage (ADVICE r3): valid dests beyond the field
-    # cap get NO routing field (exit-fallback / demand resampling,
-    # visible only via blocks_unroutable_no_field) — flag a reached cap
-    # exactly like a saturated table (exact fit also raises; bump by one
-    # granule to clear)
     D_field = world.cost_field.shape[-4]
     dv = np.asarray(world.dests.valid)
     n_valid = dv.reshape(-1, dv.shape[-1]).sum(axis=-1)
     if (n_valid >= D_field).any():
-        sat.append(f"MAX_FIELD_DESTS (field rows {D_field}, world has "
-                   f">= {int(n_valid.max())} valid dests)")
+        warnings.warn(
+            f"MAX_FIELD_DESTS partial coverage: {D_field} field rows, "
+            f"world has >= {int(n_valid.max())} valid dests — "
+            "destinations beyond the cap route via exit-fallback and "
+            "internal demand to them is resampled "
+            "(blocks_unroutable_no_field counts them)", RuntimeWarning,
+            stacklevel=2)
     if sat:
         raise RuntimeError(
             f"capacity table(s) saturated for this world: {sat} — the "
