@@ -90,11 +90,14 @@ def inject_vehicles(cfg, world, n, seed=0):
     """Synthetic dense load: n vehicles on random reachable road cells."""
     rng = np.random.default_rng(seed)
     Hh, Ww = world.grid.is_road.shape
-    field = np.asarray(world.cost_field.min(axis=1))      # u16 [D, H, W]
+    # cost_field stores pre-encoded keys (engine.field_to_keys):
+    # min over headings >> 2 recovers the best candidate cost,
+    # >= KBIG (2^19) = unreachable
+    field = np.asarray(world.cost_field.min(axis=1)) >> 2  # [D, H, W]
     DF = field.shape[0]
     dvalid = np.asarray(world.dests.valid)[:DF]
     dids = np.nonzero(dvalid)[0]
-    reach = (field[dids[0]] < 65535).reshape(-1)
+    reach = (field[dids[0]] < (1 << 19)).reshape(-1)
     road = np.asarray(world.grid.is_road).reshape(-1)
     occ_ok = np.asarray(world.veh_map).reshape(-1) < 0
     cells = np.nonzero(reach & road & occ_ok)[0]

@@ -74,7 +74,7 @@ def make_world(cfg: Config, cell, dirs, road_class, dest_cells):
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
         dests=dests,
-        cost_field=engine.field_to_u16_shifted(cfg, field, road_class),
+        cost_field=engine.field_to_keys(cfg, field, road_class),
         nearest_exit=jnp.zeros((D,), jnp.int32),
         veh_map=jnp.full((H, W), -1, jnp.int32),
         stop_map=jnp.zeros((H, W), bool),

@@ -192,12 +192,13 @@ def test_batched_sdir_kernel_matches_single():
     pen = rng.integers(0, 3000, (B, 4, Hh, Ww)).astype(np.int32)
     pen = np.where(rng.random((B, 4, Hh, Ww)) < 0.1, 1 << 17, pen)
     legal = (rng.random((4, Hh, Ww)) < 0.6).astype(np.int32)
+    K0 = engine.costs_u16_to_keys(jnp.asarray(Q))
     single = np.stack([
         np.asarray(pallas_engine.build_sdir_pallas(
-            CFG, jnp.asarray(Q), jnp.asarray(pen[b]), jnp.asarray(legal),
+            CFG, K0, jnp.asarray(pen[b]), jnp.asarray(legal),
             interpret=True)) for b in range(B)])
     batched = np.asarray(pallas_engine.build_sdir_pallas_batched(
-        CFG, jnp.asarray(Q), jnp.asarray(pen), jnp.asarray(legal),
+        CFG, K0, jnp.asarray(pen), jnp.asarray(legal),
         interpret=True))
     assert np.array_equal(single, batched)
 
@@ -216,8 +217,9 @@ def test_sdir_kernel_matches_xla_build():
     is_road = rng.random((Hh, Ww)) < 0.7
     soft2 = rng.integers(0, 5000, (Hh, Ww)).astype(np.int32)
     hard = rng.random((Hh, Ww)) < 0.1
+    K0 = engine.costs_u16_to_keys(jnp.asarray(Q))
     xla = np.asarray(engine.build_sdir(
-        cfg, jnp.asarray(Q), jnp.asarray(allowed), jnp.asarray(is_road),
+        cfg, K0, jnp.asarray(allowed), jnp.asarray(is_road),
         jnp.asarray(soft2), jnp.asarray(hard)))
     legal, pen_m, _ = engine._entry_costs(
         cfg, jnp.asarray(allowed), jnp.asarray(is_road),
@@ -225,5 +227,5 @@ def test_sdir_kernel_matches_xla_build():
     pen4 = jnp.stack(pen_m)
     legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
     kern = np.asarray(pallas_engine.build_sdir_pallas(
-        cfg, jnp.asarray(Q), pen4, legal4, interpret=True))
+        cfg, K0, pen4, legal4, interpret=True))
     assert np.array_equal(xla, kern)

@@ -254,8 +254,8 @@ class World:
     groups_static: GroupStatic
     blocks_static: BlockStatic
     dests: DestStatic
-    cost_field: jnp.ndarray     # u16 [D, 4, H, W] fixed-point (x2) routing
-    #                             cost-to-go per heading (65535 unreachable)
+    cost_field: jnp.ndarray     # i32 [D, 4, H, W] PRE-ENCODED move-candidate
+    #                             keys (cost<<2 | dir; engine.field_to_keys)
     nearest_exit: jnp.ndarray   # i32 [D] nearest highway-exit dest id as
     #                             seen from each destination cell
     # dynamic planes

@@ -102,8 +102,8 @@ def assemble_world(cfg: Config, grid: Grid, ls, gs, bs, dests, demand,
     return World(
         grid=grid, lights_static=ls, groups_static=gs, blocks_static=bs,
         dests=dests,
-        cost_field=engine.field_to_u16_shifted(cfg, field,
-                                               grid.road_class),
+        cost_field=engine.field_to_keys(cfg, field,
+                                        grid.road_class),
         nearest_exit=_nearest_exit_table(cfg, dests, DF),
         veh_map=jnp.full((H, W), -1, jnp.int32),
         stop_map=jnp.zeros((H, W), bool),

@@ -77,6 +77,9 @@ SVC_BLOCK_NONE = 16383
 
 INF_U16 = 65535         # unreachable in the fixed-point cost field
 BIG = 1 << 29
+KBIG = 1 << 19          # unreachable cost in the pre-encoded key stack:
+#                         reachable cost + any dynamic pen <= 65534 + 2^17
+#                         < KBIG, so `best >= KBIG` is exact none-detection
 KEY_INF = 0xFFFFFFFF
 
 KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
@@ -98,43 +101,64 @@ def _fld(p, sh, bits):
 # Fixed-point cost fields
 # ---------------------------------------------------------------------------
 
-def field_to_u16(F: jnp.ndarray) -> jnp.ndarray:
-    """f32 cost field -> u16 fixed point (x2; all reference costs are
-    multiples of 0.5, `astar_numba.py:11-24`).  65535 = unreachable;
-    reachable values saturate at 65534."""
-    v = jnp.clip(jnp.round(F * 2.0), 0, 65534).astype(jnp.uint16)
-    return jnp.where(F >= routing.INF, jnp.uint16(INF_U16), v)
+def costs_u16_to_keys(Q_u16: jnp.ndarray) -> jnp.ndarray:
+    """u16 move-candidate costs [D, 4, H, W] (65535 = unreachable) ->
+    the stored pre-encoded i32 key form (see `field_to_keys`)."""
+    q = Q_u16.astype(jnp.int32)
+    k = jnp.where(q >= INF_U16, jnp.int32(KBIG), q)
+    m = jnp.arange(4, dtype=jnp.int32).reshape(1, 4, 1, 1)
+    return (k << 2) | m
 
 
-def field_to_u16_shifted(cfg: Config, F: jnp.ndarray,
-                         road_class: jnp.ndarray) -> jnp.ndarray:
-    """The stored form of the cost field: u16 fixed-point (x2)
-    MOVE-CANDIDATE base costs
+def field_to_keys(cfg: Config, F: jnp.ndarray,
+                  road_class: jnp.ndarray) -> jnp.ndarray:
+    """The stored form of the cost field: PRE-ENCODED i32 candidate KEYS
 
-        Q[d, m, c] = 2 * (F[d, m, c+delta_m] + 1 + road_penalty(c+delta_m))
+        K0[d, m, c] = (q << 2) | m,   q = 2*(F[d, m, c+delta_m] + 1
+                                             + road_penalty(c+delta_m))
+                      (KBIG << 2) | m  when the candidate is unreachable
 
     i.e. pre-shifted one step along each heading with the STATIC entry
-    cost folded in at world init.  The per-segment sdir build then adds
-    only the dynamic soft penalties — no per-row rolls, widens or
-    static adds (the build streams the whole [D, 4, H, W] stack every
-    PATHFINDING_COOLDOWN ticks and measured ~40% of the tick at D=640
-    before this fold).  65535 = blocked / out of bounds."""
+    cost folded in AND the packed-key encoding (cost in bits 2.., move
+    direction in bits 0-1, unreachable saturated at KBIG = 2^19) baked
+    at world init.  The per-segment sdir build then does ONE add per
+    candidate — `key = K0 + (dynamic_pen << 2)` — instead of the former
+    4-op compare/select/shift/add chain; the encode is VPU-bound at
+    D=640 (~180 ops per packed word measured as the largest tick stage),
+    so candidate-op count is the build's cost.  Exactness: reachable
+    keys are bit-identical to the in-kernel encoding ((q+pen)<<2 | m);
+    unreachable keys become (KBIG+pen)<<2 | m >= KBIG<<2, which
+    preserves none-detection (best >= KBIG), ranking below-any-reachable
+    (reachable cost <= 65534 + 2^17 < KBIG) and straight-bit exclusion
+    (bnd2 < KBIG<<2) exactly.
+
+    Costs are u16 fixed-point (x2; all reference costs are multiples of
+    0.5, `astar_numba.py:11-24`), saturating at 65534."""
     enter_stat = 1.0 + routing.road_type_penalty(cfg, road_class)
     rows = []
     for m in range(4):
         fn = routing._shift_plane(F[:, m], m, routing.INF)
         en = routing._shift_plane(enter_stat, m, routing.INF)
-        rows.append(fn + en)
-    Q = jnp.stack(rows, axis=1)
-    v = jnp.clip(jnp.round(Q * 2.0), 0, 65534).astype(jnp.uint16)
-    return jnp.where(Q >= routing.INF, jnp.uint16(INF_U16), v)
+        Q = fn + en
+        v = jnp.clip(jnp.round(Q * 2.0), 0, 65534).astype(jnp.int32)
+        k = jnp.where(Q >= routing.INF, jnp.int32(KBIG), v)
+        rows.append((k << 2) | m)
+    return jnp.stack(rows, axis=1)
+
+
+def keys_to_cost_u16(K0: jnp.ndarray) -> jnp.ndarray:
+    """Decode the stored key stack back to u16 move-candidate costs
+    (65535 = unreachable) — inspection/test helper."""
+    q = K0 >> 2
+    return jnp.where(q >= KBIG, jnp.uint16(INF_U16),
+                     q.astype(jnp.uint16))
 
 
 def _entry_costs(cfg: Config, allowed, is_road, soft2, hard):
     """Shared per-direction move tables: (legal, pen_m, can_mv).
     pen_m[m]: additive DYNAMIC entry cost of moving in direction m
     (i32, huge when blocked) — the static part lives pre-folded in the
-    stored field (`field_to_u16_shifted`); can_mv[m]: the move lands on
+    stored key stack (`field_to_keys`); can_mv[m]: the move lands on
     road and not on a hard cell (the wavefront's permission)."""
     cp2 = jnp.int32(round(2 * cfg.VEHICLE_CONTRAFLOW_PENALTY))
     legal = [(allowed & jnp.uint8(C.DIR_BITS[m])) != 0 for m in range(4)]
@@ -151,7 +175,7 @@ def _entry_costs(cfg: Config, allowed, is_road, soft2, hard):
     return legal, pen_m, can_mv
 
 
-def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
+def build_sdir(cfg: Config, K0: jnp.ndarray, allowed: jnp.ndarray,
                is_road: jnp.ndarray, soft2: jnp.ndarray,
                hard: jnp.ndarray) -> jnp.ndarray:
     """Per-destination next-move planes, PACKED 4 rows per i32 word
@@ -160,56 +184,57 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
     bits 4-7 = heading h may continue straight instead (within
     TURN_PENALTY of best; straight bits only for *legal* moves).
 
-    `Q_u16`: the pre-shifted statically-penalized candidate stack
-    (`field_to_u16_shifted`) — per row the build is adds/mins only; no
-    rolls.  `soft2`: i32 [H, W] = round(2 * dynamic soft costs)
-    (occupied-vehicle + stop penalties) of the cell being entered;
-    `hard`: impassable cells (stranded/parked occupants — the
-    reference's strict phase-1 hard obstacles, `vehicle_base.py:280-291`).
+    `K0`: the pre-ENCODED i32 candidate key stack (`field_to_keys`) —
+    per candidate the build is ONE add (`K0 + (pen << 2)`), the min over
+    keys carries the argmin in the low 2 bits, and unreachable keys sit
+    at >= KBIG<<2 by construction.  `soft2`: i32 [H, W] = round(2 *
+    dynamic soft costs) (occupied-vehicle + stop penalties) of the cell
+    being entered; `hard`: impassable cells (stranded/parked occupants —
+    the reference's strict phase-1 hard obstacles,
+    `vehicle_base.py:280-291`).
 
     The overtake merge wavefronts live in a SEPARATE packed i32 [H, W]
     plane (`build_wavefront`)."""
-    D = Q_u16.shape[0]
+    D = K0.shape[0]
     H, W = allowed.shape
     tp2 = jnp.int32(round(2 * cfg.VEHICLE_TURN_PENALTY)
                     if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
     legal, pen_m, _ = _entry_costs(cfg, allowed, is_road, soft2, hard)
 
-    # kernel VMEM budget: one 4-row block of Q (4 headings u16) +
-    # pen/legal stacks + working planes; beyond ~6 MB fall back to the
-    # XLA path (1024^2 grids)
+    # kernel VMEM budget: one destination block of K0 (4 headings i32)
+    # + pen/legal stacks + working planes; beyond ~24 MB per block fall
+    # back to the XLA path (1024^2 grids)
     if cfg.USE_PALLAS_ENGINE and _on_tpu() \
-            and (4 * H * W * 2 + 8 * H * W * 4) < 6 * 1024 * 1024 \
+            and (4 * H * W * 4 + 8 * H * W * 4) < 24 * 1024 * 1024 \
             and D % 4 == 0:
         pen4 = jnp.stack(pen_m)
         legal4 = jnp.stack([l.astype(jnp.int32) for l in legal])
-        return _sdir_op(cfg)(Q_u16, pen4, legal4)
+        return _sdir_op(cfg)(K0, pen4, legal4)
+
+    pshift = [p << 2 for p in pen_m]
+    hbit = [jnp.where(legal[h], jnp.int32(1 << (4 + h)), 0)
+            for h in range(4)]
 
     def block(rows):
-        """Encode a [DB, 4, H, W] block of candidate rows (vectorized
-        over destinations; a few fat ops instead of D tiny loop
-        iterations)."""
-        cands = []
-        for m in range(4):
-            fn = rows[:, m].astype(jnp.int32)
-            c = jnp.where(fn >= INF_U16, BIG, fn + pen_m[m][None])
-            cands.append(jnp.minimum(c, BIG))
-        best01 = jnp.minimum(cands[0], cands[1])
-        best23 = jnp.minimum(cands[2], cands[3])
-        best = jnp.minimum(best01, best23)
-        arg = jnp.where(
-            best01 <= best23,
-            jnp.where(cands[0] <= cands[1], 0, 1),
-            jnp.where(cands[2] <= cands[3], 2, 3)).astype(jnp.uint8)
-        none = best >= BIG
+        """Encode a [DB, 4, H, W] block of candidate key rows
+        (vectorized over destinations; a few fat ops instead of D tiny
+        loop iterations).  Same packed-key math as the kernel's
+        `pallas_engine._sdir_body` — equivalence-tested."""
+        keys = [rows[:, m] + pshift[m][None] for m in range(4)]
+        bk = jnp.minimum(jnp.minimum(keys[0], keys[1]),
+                         jnp.minimum(keys[2], keys[3]))
+        best = bk >> 2
+        arg = (bk & 3).astype(jnp.uint8)
+        none = best >= KBIG
         contra = ~(jnp.where(arg == 0, legal[0][None],
                    jnp.where(arg == 1, legal[1][None],
                    jnp.where(arg == 2, legal[2][None], legal[3][None]))))
         enc = arg | (contra.astype(jnp.uint8) << 3)
+        bnd2 = (jnp.minimum(best + tp2, KBIG - 1) << 2) | 3
         for h in range(4):
-            sraw = jnp.where(legal[h][None], cands[h], BIG)
-            ok_h = (sraw <= best + tp2) & (sraw < BIG)
-            enc = enc | (ok_h.astype(jnp.uint8) << (4 + h))
+            ok_h = keys[h] <= bnd2
+            enc = enc | jnp.where(ok_h, hbit[h][None],
+                                  0).astype(jnp.uint8)
         return jnp.where(none, jnp.uint8(7), enc)
 
     # block over destinations: vector-wide math, bounded transients
@@ -220,10 +245,10 @@ def build_sdir(cfg: Config, Q_u16: jnp.ndarray, allowed: jnp.ndarray,
         DB = D  # uneven D: single block
     nblk = D // DB
     if nblk <= 1:
-        return pack_sdir4(block(Q_u16))
+        return pack_sdir4(block(K0))
 
     def body(i, out):
-        rows = jax.lax.dynamic_slice_in_dim(Q_u16, i * DB, DB, axis=0)
+        rows = jax.lax.dynamic_slice_in_dim(K0, i * DB, DB, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(
             out, block(rows), i * DB, axis=0)
 
@@ -616,7 +641,7 @@ def routing_planes(cfg: Config, world, es: EngineState):
     soft = jnp.where(occ_moving, vp, 0.0) + jnp.where(
         es.stop_map, jnp.float32(cfg.VEHICLE_OBSTACLE_PENALTY_STOP), 0.0)
     # static entry costs live pre-folded in the stored field
-    # (`field_to_u16_shifted`); only the dynamic soft part is built here
+    # (`field_to_keys`); only the dynamic soft part is built here
     soft2 = jnp.round(2.0 * soft).astype(jnp.int32)
     hard = stranded_occ
     if cfg.PEDESTRIANS_ENABLED:

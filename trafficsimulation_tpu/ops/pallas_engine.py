@@ -49,6 +49,7 @@ PA_DEST_SH = 18
 PB_STUCK_SH = 0
 PB_STRAND_SH = 12
 PB_CONTRA_SH = 24
+PC_DEPART_SH = 0
 PC_STEPS_SH = 20
 PD_PHASE_SH = 0
 PD_TIMER_SH = 2
@@ -57,10 +58,18 @@ PD_CFKEY_SH = 24
 PD_CFMODE_SH = 26
 PD_CFSTEPS_SH = 27
 KEY_INF = 0xFFFFFFFF
+KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
 
 FLAG_NEW_MAL = 1
 FLAG_NEW_COL = 2
 FLAG_MOVED = 4
+
+# tick_tail_core stat slots (f32 sums; integer-valued ones are exact in
+# f32 — counts stay far below 2^24 per tick)
+N_STATS = 16
+(ST_DONE_I, ST_DONE_T, ST_DUR_I, ST_DUR_T, ST_STEPS_I, ST_STEPS_T,
+ ST_DONE_SVC, ST_DUR_SVC, ST_STEPS_SVC, ST_NEW_MAL, ST_NEW_COL,
+ ST_KILL_I, ST_KILL_T) = range(13)
 
 
 def _u32(x):
@@ -721,21 +730,25 @@ def pick_tile(cfg: Config, D: int):
 # Streaming sdir (static next-move byte) builder
 # ---------------------------------------------------------------------------
 
-def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
+def _sdir_body(DB, tp2, qread, pen, legal, owrite):
     """Shared encode body of the sdir kernels: `qread(d, m)` yields the
-    pre-shifted candidate row (i32), `owrite(g, word)` stores the packed
-    word for destination block g.
+    PRE-ENCODED candidate key row (i32, `engine.field_to_keys`:
+    (cost << 2) | m with unreachable at (KBIG << 2) | m), `owrite(g,
+    word)` stores the packed word for destination block g.
 
-    PACKED-KEY form (the build is VPU-bound at large D): the min over
-    keys (cost << 2 | m) carries the argmin for free with the same
-    m-ascending tie order as a compare tree; the chosen move's
-    legality comes from ONE per-cell probe of a packed legal word
-    (dynamic vector shifts lower fine on Mosaic); straight-continuation
-    tests compare keys directly against (bound << 2 | 3).  Costs are
-    capped at KBIG = 2^19: real candidates are < 2^18 (u16 field +
-    <=2^17 blocked penalty), so the cap preserves exactly the
-    `ops.engine.build_sdir` XLA reference's ranking, none-detection and
-    straight bits (equivalence-tested)."""
+    PACKED-KEY form (the build is VPU-bound at large D — candidate-op
+    count IS the cost): with the encoding baked into the stored stack,
+    each candidate is ONE add (`K0 + (pen << 2)`; the former
+    compare/select/shift/add chain moved to world init).  The min over
+    keys carries the argmin for free with the same m-ascending tie
+    order as a compare tree; the chosen move's legality comes from ONE
+    per-cell probe of a packed legal word (dynamic vector shifts lower
+    fine on Mosaic); straight-continuation tests compare keys directly
+    against (bound << 2 | 3).  Unreachable candidates sit at
+    (KBIG + pen) << 2 | m >= KBIG << 2: real candidates stay < KBIG
+    (u16 cost + <= 2^17 blocked penalty < 2^19), so ranking,
+    none-detection and straight bits match the `ops.engine.build_sdir`
+    XLA reference exactly (equivalence-tested)."""
     KBIG = jnp.int32(1 << 19)
     # per-call precomputes, shared across all destination rows
     lp = (legal[0].astype(jnp.int32) | (legal[1].astype(jnp.int32) << 1)
@@ -743,23 +756,14 @@ def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
           | (legal[3].astype(jnp.int32) << 3))
     hbit = [jnp.where(legal[h], jnp.int32(1 << (4 + h)), 0)
             for h in range(4)]
-    # (pen << 2) | m: both key addends keep the low direction bits
-    # clear, so (fn << 2) + keybase == ((fn + pen) << 2) | m — and real
-    # candidates never reach KBIG (u16 field + <= 2^17 blocked penalty
-    # < 2^18), so no cap is needed on the reachable branch
-    keybase = [(pen[m] << 2) | m for m in range(4)]
-    kbigkey = [(KBIG << 2) | m for m in range(4)]
+    # pen << 2 keeps the key's low direction bits clear:
+    # K0 + (pen << 2) == ((cost + pen) << 2) | m
+    pshift = [pen[m] << 2 for m in range(4)]
     one = jnp.int32(1)
     for g in range(DB // 4):
         word = None
         for k in range(4):
-            keys = []
-            for m in range(4):
-                # rows are pre-shifted with static costs folded in
-                # (engine.field_to_u16_shifted): adds/mins only
-                fn = qread(4 * g + k, m)
-                keys.append(jnp.where(fn >= INF_U16, kbigkey[m],
-                                      (fn << 2) + keybase[m]))
+            keys = [qread(4 * g + k, m) + pshift[m] for m in range(4)]
             bk = jnp.minimum(jnp.minimum(keys[0], keys[1]),
                              jnp.minimum(keys[2], keys[3]))
             best = bk >> 2
@@ -774,24 +778,24 @@ def _sdir_body(DB, tp2, INF_U16, BIG, qread, pen, legal, owrite):
         owrite(g, word)
 
 
-def _sdir_kernel(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref, out_ref):
+def _sdir_kernel(DB, tp2, Q_ref, pen_ref, legal_ref, out_ref):
     def ow(g, word):
         out_ref[g] = word
 
-    _sdir_body(DB, tp2, INF_U16, BIG,
-               lambda d, m: Q_ref[d, m].astype(jnp.int32),
+    _sdir_body(DB, tp2,
+               lambda d, m: Q_ref[d, m],
                [pen_ref[m] for m in range(4)],
                [legal_ref[m] != 0 for m in range(4)], ow)
 
 
-def _sdir_kernel_batched(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref,
+def _sdir_kernel_batched(DB, tp2, Q_ref, pen_ref, legal_ref,
                          out_ref):
     # pen_ref [1, 4, H, W] (this grid step's world); out_ref [1, DB/4, ..]
     def ow(g, word):
         out_ref[0, g] = word
 
-    _sdir_body(DB, tp2, INF_U16, BIG,
-               lambda d, m: Q_ref[d, m].astype(jnp.int32),
+    _sdir_body(DB, tp2,
+               lambda d, m: Q_ref[d, m],
                [pen_ref[0, m] for m in range(4)],
                [legal_ref[m] != 0 for m in range(4)], ow)
 
@@ -799,32 +803,40 @@ def _sdir_kernel_batched(DB, tp2, INF_U16, BIG, Q_ref, pen_ref, legal_ref,
 def _sdir_db(D, H, W):
     """Fat destination blocks: the build is per-grid-step DMA/launch
     overhead bound (~7 us/step; 160 steps x 16 worlds measured as the
-    whole build cost at 2 MB blocks)."""
-    DB = max(4, min(D, (6 * 1024 * 1024) // (4 * H * W * 2) // 4 * 4))
+    whole build cost at 2 MB blocks).  Budget sized for the i32 key
+    stack (engine.field_to_keys): ~16 MB of K0 block per step keeps the
+    step's DMA well above the launch overhead."""
+    DB = max(4, min(D, (16 * 1024 * 1024) // (4 * H * W * 4) // 4 * 4))
     while D % DB != 0:
         DB -= 4
     return DB
 
 
-def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4,
+def build_sdir_pallas(cfg: Config, K0, pen4, legal4,
                       interpret: bool = False) -> jnp.ndarray:
     """TPU kernel form of `ops.engine.build_sdir`: streams the
-    pre-shifted [D, 4, H, W] candidate stack through VMEM in destination
-    blocks and encodes next-move bytes entirely on-chip, writing the
-    PACKED [D/4, H, W] i32 form directly (pack_sdir4 layout) — HBM
-    traffic is one read of Q plus one write of the packed stack; no
-    separate narrowing or packing pass."""
+    pre-encoded [D, 4, H, W] i32 candidate KEY stack
+    (`engine.field_to_keys`) through VMEM in destination blocks and
+    encodes next-move bytes entirely on-chip, writing the PACKED
+    [D/4, H, W] i32 form directly (pack_sdir4 layout) — HBM traffic is
+    one read of K0 plus one write of the packed stack; no separate
+    narrowing or packing pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from . import engine as E
 
-    D = Q_u16.shape[0]
-    H, W = Q_u16.shape[2], Q_u16.shape[3]
+    D = K0.shape[0]
+    H, W = K0.shape[2], K0.shape[3]
     tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
               if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
     DB = _sdir_db(D, H, W)
+    kw = {}
+    if not interpret:
+        # double-buffered 16 MB key blocks exceed the 16 MB scoped
+        # default (v5e: 128 MB physical VMEM)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_sdir_kernel, DB, tp2, E.INF_U16, E.BIG),
+        functools.partial(_sdir_kernel, DB, tp2),
         grid=(D // DB,),
         in_specs=[
             pl.BlockSpec((DB, 4, H, W), lambda i: (i, 0, 0, 0),
@@ -837,18 +849,18 @@ def build_sdir_pallas(cfg: Config, Q_u16, pen4, legal4,
         out_specs=pl.BlockSpec((DB // 4, H, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D // 4, H, W), jnp.int32),
-        interpret=interpret,
-    )(Q_u16, pen4, legal4)
+        interpret=interpret, **kw,
+    )(K0, pen4, legal4)
 
 
-def build_sdir_pallas_batched(cfg: Config, Q_u16, pen4b, legal4,
+def build_sdir_pallas_batched(cfg: Config, K0, pen4b, legal4,
                               interpret: bool = False) -> jnp.ndarray:
     """Batched sdir build over a SHARED candidate stack: grid =
     (dest-block, world) with the world axis iterating fastest, so the Q
     block's index is unchanged across consecutive steps and Mosaic's
     pipelining elides the repeated multi-MB DMA — the stack is read from
     HBM once per SEGMENT for the whole batch instead of once per world
-    (5.4 GB -> 335 MB at B=16, D=640, 256x256).  Wired into
+    (i32 keys: 10.7 GB -> 670 MB at B=16, D=640, 256x256).  Wired into
     `engine.build_sdir` via a custom_vmap rule, so vmapped
     shared-geometry rollouts (parallel/mesh.run_batch_shared) hit it
     without callers changing.
@@ -857,16 +869,19 @@ def build_sdir_pallas_batched(cfg: Config, Q_u16, pen4b, legal4,
     Returns [B, D/4, H, W] i32 (pack_sdir4 layout per world)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from . import engine as E
 
-    D = Q_u16.shape[0]
+    D = K0.shape[0]
     B = pen4b.shape[0]
-    H, W = Q_u16.shape[2], Q_u16.shape[3]
+    H, W = K0.shape[2], K0.shape[3]
     tp2 = int(round(2 * cfg.VEHICLE_TURN_PENALTY)
               if cfg.VEHICLE_TURN_PENALTY_ENABLED else 0)
     DB = _sdir_db(D, H, W)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_sdir_kernel_batched, DB, tp2, E.INF_U16, E.BIG),
+        functools.partial(_sdir_kernel_batched, DB, tp2),
         grid=(D // DB, B),
         in_specs=[
             pl.BlockSpec((DB, 4, H, W), lambda i, b: (i, 0, 0, 0),
@@ -880,8 +895,8 @@ def build_sdir_pallas_batched(cfg: Config, Q_u16, pen4b, legal4,
                                lambda i, b: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D // 4, H, W), jnp.int32),
-        interpret=interpret,
-    )(Q_u16, pen4b, legal4)
+        interpret=interpret, **kw,
+    )(K0, pen4b, legal4)
 
 
 # ---------------------------------------------------------------------------

@@ -93,7 +93,7 @@ def init_world(cfg: Config, key) -> World:
     grid, ls, gs, bs, dests, field = generate_city(cfg, kgen)
     layout = trip_layout_cached(cfg)
     DF = field.shape[0]
-    field = engine.field_to_u16_shifted(cfg, field, grid.road_class)
+    field = engine.field_to_keys(cfg, field, grid.road_class)
     dem = demand_mod.generate_days(
         cfg, layout, kday, jnp.int32(0), cfg.DEMAND_PREGEN_DAYS,
         jnp.int32(-1), bs.valid, bs.btype, bs.dest, bs.entrance,
