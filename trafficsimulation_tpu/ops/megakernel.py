@@ -1,0 +1,1207 @@
+"""Multi-tick fused segment kernel ("megakernel").
+
+One `pallas_call` with `grid=(R,)` advances a WHOLE routing segment
+(R = PATHFINDING_COOLDOWN ticks) on-chip: lights (queue reductions, FSM,
+phase commit, stop map), the fused decide+move CA, and the post-move
+tail (arrivals, service FSM, despawns, demand spawns, block resources,
+metrics) all run inside one kernel, with every dynamic plane AND the
+packed sdir4 routing stack resident in VMEM across all R ticks.
+
+Why: the r4-measured tick spent ~45% of its time OUTSIDE the compute —
+re-reading the ~40 MB sdir4 stack from HBM every tick (the decide+move
+kernel's HBM floor), plus cross-stage XLA materialization between the
+~10 per-tick stages.  Keeping state resident for a segment removes both
+(NOTES.md round-5; VERDICT r4 next #1).
+
+TPU-native re-expressions (Mosaic has no gather/scatter/cumsum):
+
+  * Queue/stop reductions ride the MXU as int8 one-hot RUN-matrix
+    matmuls: queue counts = mask-reduce of `occ @ colsel` (per-run
+    columns disambiguate overlapping groups exactly), the stop map is
+    painted by `rowmask*stopped @ colsel`.  Exact: operands are 0/1 and
+    counts < 127.  (Reference semantics: `numba_utilities.py:65-152`,
+    `cell.py:241-251`.)
+  * The light FSM runs on (1, G) lane rows; the light->group gathers of
+    `_execute_phase_change` (`intersection_light_group.py:348-384`)
+    become one int8 one-hot [G, L] matmul.
+  * The post-move tail is rewritten in PLANE space: block food/waste
+    tanks live ON the lattice at each block's service-arrival cell, so
+    service transfers are cell-local and the "neediest block" argmax is
+    a plane reduction (`vehicle_service.py:41-140`).
+  * Demand spawns are PRE-SCHEDULED: cursor evolution is independent of
+    simulation state, so the XLA host-side precomputes per-tick spawn
+    planes (+slot ids); the kernel only applies the live occupancy
+    check (`dynamic_traffic_generator.py:409-470` semantics).
+  * Rain has no feedback from traffic, so its whole segment evolution
+    is precomputed outside; the kernel streams one rain plane per tick.
+
+Equivalence: `tests/test_megakernel.py` asserts bit-identical planes,
+lights, blocks and metrics vs the per-tick reference path over multiple
+segments (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .. import codes as C
+from ..config import Config
+from . import pallas_engine as PE
+
+KIND_INTERNAL, KIND_THROUGH, KIND_FOOD, KIND_WASTE = 0, 1, 2, 3
+DEST_NONE = 16383
+SVC_BLOCK_NONE = 16383
+
+# stats row layout (f32 SMEM [R, 16])
+(ST_DONE_I, ST_DONE_T, ST_DUR_I, ST_DUR_T, ST_STEPS_I, ST_STEPS_T,
+ ST_DONE_SVC, ST_DUR_SVC, ST_STEPS_SVC, ST_NEW_MAL, ST_NEW_COL,
+ ST_KILL_I, ST_KILL_T, ST_DROP_I, ST_DROP_T) = range(15)
+N_STATS = 16
+
+
+def _i8(x):
+    return x.astype(jnp.int8)
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _fld(p, sh, bits):
+    return ((p >> sh) & ((1 << bits) - 1)).astype(jnp.int32)
+
+
+def _bit(p, sh):
+    return ((p >> sh) & 1).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-static tables: run matrices + static planes (XLA, once per chunk)
+# ---------------------------------------------------------------------------
+
+
+def _run_rects(lo, hi, H, W):
+    """Decode prefix-buffer run indices (fsm.group_reductions layout:
+    H-section [H, W+1] first, then V-section [H+1, W]) into rectangles.
+    Returns (is_h, y, x0, x1, x, y0, y1) — horizontal runs span row y,
+    cols [x0, x1); vertical runs span col x, rows [y0, y1)."""
+    NH = H * (W + 1)
+    is_h = lo < NH
+    y = lo // (W + 1)
+    x0 = lo % (W + 1)
+    x1 = hi % (W + 1)
+    lo2 = jnp.maximum(lo - NH, 0)
+    hi2 = jnp.maximum(hi - NH, 0)
+    x = lo2 % W
+    y0 = lo2 // W
+    y1 = hi2 // W
+    return is_h, y, x0, x1, x, y0, y1
+
+
+def build_chunk_static(cfg: Config, world) -> dict:
+    """All geometry-derived kernel inputs that are constant for a chunk:
+    int8 run matrices for the light reductions and static planes for the
+    plane-space service/spawn tail."""
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    grid = world.grid
+    gs, ls, bs, dests = (world.groups_static, world.lights_static,
+                         world.blocks_static, world.dests)
+    G = world.lights.current_phase.shape[-1]
+    L = ls.valid.shape[0]
+    DF = world.cost_field.shape[0]
+
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+
+    # ---- queue run matrices -------------------------------------------
+    valid_r = gs.run_seg >= 0
+    is_h, ry, rx0, rx1, rx, ry0, ry1 = _run_rects(
+        jnp.maximum(gs.run_lo, 0), jnp.maximum(gs.run_hi, 0), H, W)
+    vmask = valid_r & ~is_h
+    hmask = valid_r & is_h
+    seg_g = jnp.where(valid_r, gs.run_seg // 5, 0)
+    seg_b = jnp.where(valid_r, gs.run_seg % 5, 0)
+    # vertical: column one-hot [W, R], row-range mask [H, R]
+    q_cv = _i8(vmask[None, :] & (iota_w[:, None] == rx[None, :]))
+    q_rmv = _i8(vmask[None, :] & (iota_h[:, None] >= ry0[None, :])
+                & (iota_h[:, None] < ry1[None, :]))
+    # horizontal: row one-hot [R, H] (LHS of a plain matmul), col-range
+    # mask [R, W]
+    q_rh = _i8(hmask[:, None] & (iota_h[None, :] == ry[:, None]))
+    q_cmh = _i8(hmask[:, None] & (iota_w[None, :] >= rx0[:, None])
+                & (iota_w[None, :] < rx1[:, None]))
+    # run -> group one-hot [R, G] and bucket masks [8, R]
+    gid = jnp.arange(G, dtype=jnp.int32)
+    q_og = _i8(valid_r[:, None] & (seg_g[:, None] == gid[None, :]))
+    bq = _i8((jnp.arange(8, dtype=jnp.int32)[:, None] == seg_b[None, :])
+             & valid_r[None, :])
+
+    # ---- stop run matrices (srun + sextra singles) --------------------
+    s_lo = ls.srun_lo
+    s_hi = ls.srun_hi
+    s_light = ls.srun_light
+    # fold the rare extra cells in as 1-cell horizontal runs
+    ex_ok = ls.sextra_cell >= 0
+    ex_y = jnp.maximum(ls.sextra_cell, 0) // W
+    ex_x = jnp.maximum(ls.sextra_cell, 0) % W
+    ex_lo = ex_y * (W + 1) + ex_x
+    s_lo = jnp.concatenate([s_lo, jnp.where(ex_ok, ex_lo, -1)])
+    s_hi = jnp.concatenate([s_hi, jnp.where(ex_ok, ex_lo + 1, -1)])
+    s_light = jnp.concatenate(
+        [s_light, jnp.where(ex_ok, ls.sextra_light, -1)])
+    s_valid = s_light >= 0
+    sis_h, sy, sx0, sx1, sx, sy0, sy1 = _run_rects(
+        jnp.maximum(s_lo, 0), jnp.maximum(s_hi, 0), H, W)
+    svm = s_valid & ~sis_h
+    shm = s_valid & sis_h
+    s_rmv = _i8(svm[None, :] & (iota_h[:, None] >= sy0[None, :])
+                & (iota_h[:, None] < sy1[None, :]))       # [H, S]
+    s_cv = _i8(svm[:, None] & (iota_w[None, :] == sx[:, None]))  # [S, W]
+    s_rh = _i8(shm[None, :] & (iota_h[:, None] == sy[None, :]))  # [H, S]
+    s_cmh = _i8(shm[:, None] & (iota_w[None, :] >= sx0[:, None])
+                & (iota_w[None, :] < sx1[:, None]))       # [S, W]
+    lid = jnp.arange(L, dtype=jnp.int32)
+    s_ol = _i8(s_valid[None, :] & (s_light[None, :] == lid[:, None]))  # [L,S]
+
+    # ---- light/group gathers ------------------------------------------
+    ogl = _i8((ls.group[None, :] == gid[:, None])
+              & ls.valid[None, :] & (ls.group[None, :] >= 0))   # [G, L]
+    neigh = None
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in (
+            "NEIGHBOR_PRESSURE_CONTROL", "NEIGHBOR_GREEN_WAVE"):
+        neigh = []
+        for d in range(4):
+            nb = gs.neighbor[:, d]
+            oh = ((nb[:, None] == gid[None, :]) & (nb >= 0)[:, None])
+            neigh.append(oh.astype(jnp.float32))          # [G, G]
+
+    # ---- static planes -------------------------------------------------
+    Dall = dests.pos.shape[0]
+    dpos = jnp.clip(dests.pos, 0, HW - 1)
+    sink = jnp.where(dests.valid, dpos, HW)
+
+    def plane(vals, fill, dtype=jnp.int32):
+        buf = jnp.full((HW + 1,), fill, dtype)
+        return buf.at[sink].set(vals.astype(dtype), mode="drop")[:HW] \
+            .reshape(H, W)
+
+    g_destkind1 = plane((dests.kind == 1), 0)
+    g_nexit = plane(world.nearest_exit, -1)
+    g_exitcell = (grid.cell_type == C.HIGHWAY_EXIT).astype(jnp.int32)
+
+    # block canonical cells: the block's service-arrival destination
+    svc_target = jnp.where((bs.service_dest >= 0) & (bs.service_dest < DF),
+                           bs.service_dest, bs.dest)
+    blk_ok = (svc_target >= 0) & (svc_target < DF)
+    home_dest = jnp.where(svc_target >= 0, svc_target, bs.dest)
+    has_home = bs.valid & (home_dest >= 0)
+    bcell = jnp.where(has_home,
+                      dpos[jnp.clip(home_dest, 0, Dall - 1)], HW)
+    B = bs.valid.shape[0]
+
+    def bplane(vals, fill, dtype):
+        buf = jnp.full((HW + 1,), fill, dtype)
+        return buf.at[bcell].set(vals.astype(dtype), mode="drop")[:HW] \
+            .reshape(H, W)
+
+    cs = dict(
+        q_cv=q_cv, q_rmv=q_rmv, q_rh=q_rh, q_cmh=q_cmh, q_og=q_og, bq=bq,
+        s_rmv=s_rmv, s_cv=s_cv, s_rh=s_rh, s_cmh=s_cmh, s_ol=s_ol,
+        ogl=ogl,
+        g_inter=grid.intersection.astype(jnp.int32),
+        g_destid=grid.dest_id,
+        g_destkind1=g_destkind1,
+        g_nexit=g_nexit,
+        g_exitcell=g_exitcell,
+        b_mask=bplane(has_home, 0, jnp.int32),
+        b_ok=bplane(blk_ok & has_home, 0, jnp.int32),
+        b_bid=bplane(jnp.arange(B), -1, jnp.int32),
+        b_svcdest=bplane(jnp.where(svc_target >= 0, svc_target, 0),
+                         0, jnp.int32),
+        b_needs=bplane(bs.needs_food & has_home, 0, jnp.int32),
+        b_prod=bplane(bs.produces_waste & has_home, 0, jnp.int32),
+        b_inner=bplane(bs.inner_count.astype(jnp.float32), 0.0,
+                       jnp.float32),
+        b_fcap=bplane(bs.food_cap, 0.0, jnp.float32),
+        b_wcap=bplane(bs.waste_cap, 0.0, jnp.float32),
+        l_valid=ls.valid.astype(jnp.int32)[None],
+        l_axis=ls.axis.astype(jnp.int32)[None],
+        l_hasgrp=(ls.valid & (ls.group >= 0)).astype(jnp.int32)[None],
+        gg_valid=world.groups_static.valid.astype(jnp.int32)[None],
+        bcell=bcell, has_home=has_home,
+    )
+    if neigh is not None:
+        cs["neigh"] = neigh
+    return cs
+
+
+# ---------------------------------------------------------------------------
+# Per-segment precompute (XLA): PRNG chain, rain evolution, spawn schedule
+# ---------------------------------------------------------------------------
+
+
+def prepare_segment(cfg: Config, world, es, R: int) -> dict:
+    """Everything the segment's ticks need that is either (a) PRNG-chain
+    derived, (b) feedback-free (rain), or (c) deterministic given the
+    trip table (the spawn schedule: cursor evolution never depends on
+    simulation state — failed spawns still consume their slot)."""
+    from ..agents.rain import step_rain
+    from .engine import free_slots
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    caps = cfg.capacities()
+    S = caps.max_spawns_per_tick
+    V = caps.max_vehicles
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+
+    # PRNG chain (bit-exact with engine.step_engine's per-tick splits)
+    key = es.key
+    seeds, rain_keys = [], []
+    for _t in range(R):
+        key, k_mal, _ks, _kp, _kr2, k_rain = jax.random.split(key, 6)
+        seeds.append(jax.random.bits(k_mal, (4,), jnp.uint32))
+        rain_keys.append(k_rain)
+        key, _k_spawn = jax.random.split(key)
+    final_key = key
+    seeds = jax.lax.bitcast_convert_type(jnp.stack(seeds), jnp.int32)
+
+    # rain: no feedback from traffic — evolve the whole segment now
+    rain = es.rain
+    rmaps = [es.rain_map]
+    force = es.overrides.spawn_rain
+    for t in range(R):
+        rain, rm = step_rain(cfg, H, W, rain, rain_keys[t],
+                             force_spawn=force if t == 0 else None)
+        rmaps.append(rm)
+    rain_planes = jnp.stack(rmaps[:R]).astype(jnp.int32)
+
+    # spawn schedule
+    dem = world.demand
+    T = dem.depart_tick.shape[0]
+    slots0 = free_slots(es.slot_used, (R + 1) * S)
+    cursor = es.dem_cursor
+    sidx = jnp.arange(S)
+    spa, spe = [], []
+    created = []
+    drop_static = []
+    for t in range(R):
+        idxs = cursor + sidx
+        j = jnp.clip(idxs, 0, T - 1)
+        due = (idxs < T) & dem.valid[j] & \
+            (dem.depart_tick[j] <= es.tick + t + 1)
+        due = jnp.cumprod(due.astype(jnp.int32)).astype(bool)
+        if not cfg.ENABLE_TRAFFIC:
+            due = due & False
+        slots = jax.lax.dynamic_slice_in_dim(slots0, cursor - es.dem_cursor,
+                                             S)
+        can = due & (slots >= 0)
+        org = jnp.clip(dem.origin[j], 0, HW - 1)
+        kind = dem.kind[j].astype(jnp.int32)
+        # same-tick same-cell dedup: lowest batch index wins (static
+        # part of `place`; the occupancy check runs in-kernel)
+        dup = jnp.any((org[None, :] == org[:, None])
+                      & (sidx[None, :] < sidx[:, None])
+                      & can[None, :], axis=1) & can
+        place_s = can & ~dup
+        dest = jnp.where(kind <= KIND_THROUGH, dem.dest[j], -1)
+        dest = jnp.where(dest < 0, DEST_NONE,
+                         jnp.minimum(dest, DEST_NONE - 1))
+        pa_v = (jnp.uint32(1) | (_u32(kind) << PE.PA_KIND_SH)
+                | (_u32(dest) << PE.PA_DEST_SH))
+        cell = jnp.where(place_s, org, HW)
+        spa.append(jnp.zeros((HW + 1,), jnp.uint32).at[cell].set(
+            pa_v, mode="drop")[:HW])
+        spe.append(jnp.full((HW + 1,), -1, jnp.int32).at[cell].set(
+            jnp.clip(slots, 0, V - 1), mode="drop")[:HW])
+        created.append(jnp.stack([jnp.sum(can & (kind == k))
+                                  for k in range(4)]))
+        pool_drop = due & (slots < 0)
+        drop_static.append(jnp.stack(
+            [jnp.sum((dup | pool_drop) & (kind == KIND_INTERNAL)),
+             jnp.sum((dup | pool_drop) & (kind != KIND_INTERNAL))]))
+        cursor = cursor + jnp.sum(due)
+
+    elapsed = es.elapsed + dt * (1 + jnp.arange(R, dtype=jnp.float32))
+    return dict(
+        seeds=seeds,
+        elapsed=elapsed,
+        rain_planes=rain_planes,
+        final_rain=rain, final_rain_map=rmaps[R], final_key=final_key,
+        spawn_pa=jnp.stack(spa).reshape(R, H, W),
+        spawn_pe=jnp.stack(spe).reshape(R, H, W),
+        created=jnp.stack(created),          # [R, 4] i32
+        drop_static=jnp.stack(drop_static),  # [R, 2] i32
+        final_cursor=cursor,
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel light FSM on (1, G) rows (mirrors lights/fsm.py exactly)
+# ---------------------------------------------------------------------------
+
+LI_CUR, LI_PEND, LI_TRANS, LI_CLEAR, LI_FT, LI_FTT, LI_QT, LI_GAP, \
+    LI_LASTARR = range(9)
+N_LI = 16   # i32 rows (padded)
+LF_NSP, LF_EWP = range(2)
+N_LF = 8    # f32 rows (padded)
+
+
+def _apply_phase_rows(cur, pend, want, phase):
+    ok = want & (phase != cur) & (pend == -1)
+    return jnp.where(ok, phase, pend)
+
+
+def _controllers_rows(cfg: Config, li, lf, gvalid, q, neigh=None):
+    """fsm.run_controllers on (1, G) rows.  `li`/`lf` are dicts of rows;
+    `q` = (ns_in, ns_out, ew_in, ew_out) i32 rows.  Returns updated
+    (li, lf)."""
+    algo = cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM
+    active = gvalid & (li[LI_PEND] == -1)
+    if algo == "DISABLED":
+        return li, lf
+
+    if algo == "FIXED_TIME":
+        timer = jnp.where(active, li[LI_FTT] + 1, li[LI_FTT])
+        li = dict(li)
+        li[LI_FTT] = timer
+        li[LI_PEND] = _apply_phase_rows(li[LI_CUR], li[LI_PEND],
+                                        active & (timer == 1), li[LI_FT])
+        flip = active & (timer >= cfg.TRAFFIC_LIGHT_GREEN_DURATION)
+        li[LI_FT] = jnp.where(flip, 1 - li[LI_FT], li[LI_FT])
+        li[LI_FTT] = jnp.where(flip, 0, li[LI_FTT])
+        return li, lf
+
+    ns_in, ns_out, ew_in, ew_out = q
+
+    if algo == "QUEUE_ACTUATED":
+        timer = jnp.where(active, li[LI_QT] + 1, li[LI_QT])
+        cur_is_ns = li[LI_CUR] == 0
+        cur_q = jnp.where(cur_is_ns, ns_in, ew_in)
+        opp_q = jnp.where(cur_is_ns, ew_in, ns_in)
+        first = active & (timer == 1)
+        grew = active & (cur_q > li[LI_LASTARR])
+        last_arrival = jnp.where(first | grew, cur_q, li[LI_LASTARR])
+        gap = jnp.where(first, 0,
+                        jnp.where(grew, 0,
+                                  jnp.where(active, li[LI_GAP] + 1,
+                                            li[LI_GAP])))
+        switch = active & \
+            (timer >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MIN_GREEN) & (
+                (gap >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_GAP) |
+                (timer >= cfg.TRAFFIC_LIGHT_QUEUE_ACTUATED_MAX_GREEN) |
+                ((opp_q > cur_q) & (cur_q == 0)))
+        li = dict(li)
+        li[LI_QT] = jnp.where(switch, 0, timer)
+        li[LI_GAP] = gap
+        li[LI_LASTARR] = last_arrival
+        li[LI_PEND] = _apply_phase_rows(li[LI_CUR], li[LI_PEND], switch,
+                                        1 - li[LI_CUR])
+        return li, lf
+
+    if algo in ("PRESSURE_CONTROL", "NEIGHBOR_PRESSURE_CONTROL"):
+        ns_p = (ns_in - ns_out).astype(jnp.float32)
+        ew_p = (ew_in - ew_out).astype(jnp.float32)
+        if algo == "NEIGHBOR_PRESSURE_CONTROL":
+            for d in range(4):
+                # gather the stored neighbor pressure via the one-hot
+                # [G, G] matmul (exact: values are integer-valued)
+                if d in (0, 2):
+                    ns_p = ns_p - jnp.dot(
+                        lf[LF_NSP], neigh[d].T,
+                        preferred_element_type=jnp.float32)
+                else:
+                    ew_p = ew_p - jnp.dot(
+                        lf[LF_EWP], neigh[d].T,
+                        preferred_element_type=jnp.float32)
+        lf = dict(lf)
+        lf[LF_NSP] = jnp.where(active, ns_p, lf[LF_NSP])
+        lf[LF_EWP] = jnp.where(active, ew_p, lf[LF_EWP])
+        li = dict(li)
+        li[LI_PEND] = _apply_phase_rows(
+            li[LI_CUR], li[LI_PEND], active,
+            jnp.where(ns_p > ew_p, 0, 1))
+        return li, lf
+
+    if algo == "NEIGHBOR_GREEN_WAVE":
+        favor_ns = jnp.zeros_like(li[LI_CUR], dtype=bool)
+        favor_ew = jnp.zeros_like(li[LI_CUR], dtype=bool)
+        for d in range(4):
+            ph_ns = jnp.dot((li[LI_CUR] == 0).astype(jnp.float32),
+                            neigh[d].T,
+                            preferred_element_type=jnp.float32) > 0.5
+            ph_ew = jnp.dot((li[LI_CUR] == 1).astype(jnp.float32),
+                            neigh[d].T,
+                            preferred_element_type=jnp.float32) > 0.5
+            if d in (0, 2):
+                favor_ns = favor_ns | ph_ns
+            else:
+                favor_ew = favor_ew | ph_ew
+        phase = jnp.where(favor_ns & ~favor_ew, 0,
+                          jnp.where(favor_ew & ~favor_ns, 1,
+                                    jnp.where(ns_in > ew_in, 0, 1)))
+        li = dict(li)
+        li[LI_PEND] = _apply_phase_rows(li[LI_CUR], li[LI_PEND], active,
+                                        phase)
+        return li, lf
+
+    raise ValueError(f"megakernel does not support algorithm {algo!r}")
+
+
+def _phase_change_rows(cfg: Config, li, lstop, occ_g, gvalid, ogl,
+                       l_valid, l_axis, l_hasgrp):
+    """fsm.execute_phase_change on rows.  `lstop` (1, L) i32; gathers of
+    group values to lights ride one int8 [G, L] one-hot matmul each."""
+    has_pending = gvalid & (li[LI_PEND] >= 0)
+
+    in_transition = jnp.zeros_like(has_pending)
+    trans = li[LI_TRANS]
+    if cfg.TRAFFIC_LIGHT_TRANSITION_DURATION_ENABLED:
+        in_transition = has_pending & (trans > 0)
+        trans = jnp.where(in_transition, trans - 1, trans)
+
+    blocked_clear = jnp.zeros_like(has_pending)
+    if cfg.TRAFFIC_LIGHT_TRANSITION_CLEARANCE_ENABLED:
+        blocked_clear = has_pending & ~in_transition & occ_g
+
+    all_red = in_transition | blocked_clear
+    commit = has_pending & ~all_red
+
+    def to_lights(row_i32):
+        return jnp.dot(_i8(row_i32), ogl,
+                       preferred_element_type=jnp.int32)
+
+    l_all_red = (l_hasgrp != 0) & (to_lights(all_red.astype(jnp.int32))
+                                   != 0)
+    l_commit = (l_hasgrp != 0) & (to_lights(commit.astype(jnp.int32))
+                                  != 0)
+    # pending phase is 0/1 where commit holds (values -1..1 fit int8)
+    commit_phase = to_lights(jnp.where(commit, li[LI_PEND], 0))
+    go = (l_axis >= 0) & (l_axis == commit_phase)
+    stop = (l_axis >= 0) & (l_axis != commit_phase)
+    ls = lstop != 0
+    ls = jnp.where(l_all_red, True, ls)
+    ls = jnp.where(l_commit & go, False, ls)
+    ls = jnp.where(l_commit & stop, True, ls)
+
+    li = dict(li)
+    li[LI_TRANS] = trans
+    li[LI_CUR] = jnp.where(commit, li[LI_PEND], li[LI_CUR])
+    li[LI_PEND] = jnp.where(commit, -1, li[LI_PEND])
+    return li, ls.astype(jnp.int32)
+
+
+def _queue_reductions(occ_i8, mats):
+    """Per-group queue counts via int8 run matmuls.  Returns (ns_in,
+    ns_out, ew_in, ew_out, occ_flag) as (1, G) i32 rows."""
+    # vertical runs: T[y, r] = occ[y, x_r]; mask rows; reduce
+    tv = jnp.dot(occ_i8, mats["q_cv"], preferred_element_type=jnp.int32)
+    tv = tv * mats["q_rmv"].astype(jnp.int32)
+    cntv = jnp.sum(tv, axis=0, keepdims=True)            # (1, R)
+    # horizontal runs: T[r, x] = occ[y_r, x]; mask cols; reduce
+    th = jnp.dot(mats["q_rh"], occ_i8, preferred_element_type=jnp.int32)
+    th = th * mats["q_cmh"].astype(jnp.int32)
+    cnth = jnp.sum(th, axis=1, keepdims=True)            # (R, 1)
+    q = []
+    bq = mats["bq"].astype(jnp.int32)
+    for b in range(5):
+        cv = _i8(cntv * bq[b:b + 1])
+        ch = _i8(cnth * bq[b:b + 1].T)
+        qb = jnp.dot(cv, mats["q_og"], preferred_element_type=jnp.int32) \
+            + jnp.dot(ch.T, mats["q_og"], preferred_element_type=jnp.int32)
+        q.append(qb)
+    return q[0], q[1], q[2], q[3], q[4] > 0
+
+
+def _stop_map_paint(lstop, mats):
+    """stop_map plane from per-light stop flags via run matmuls."""
+    stopped = jnp.dot(_i8(lstop), mats["s_ol"],
+                      preferred_element_type=jnp.int32)      # (1, S)
+    sv = mats["s_rmv"].astype(jnp.int32) * stopped            # [H, S]
+    pv = jnp.dot(_i8(sv), mats["s_cv"],
+                 preferred_element_type=jnp.int32)            # [H, W]
+    sh = mats["s_rh"].astype(jnp.int32) * stopped             # [H, S]
+    ph = jnp.dot(_i8(sh), mats["s_cmh"],
+                 preferred_element_type=jnp.int32)
+    return (pv + ph) > 0
+
+
+def _tick_randoms_kernel(cfg: Config, seeds_t, H, W):
+    """engine.tick_randoms math from 4 prefetched u32 seeds (bit-exact:
+    same murmur finalizer, same quantization)."""
+    iota = (jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
+            * jnp.uint32(W)
+            + jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1))
+
+    def h(x):
+        x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    b = [h(iota + seeds_t[i]) for i in range(4)]
+    unit = jnp.float32(1.0 / (1 << 24))
+    r_mal = (b[0] >> 8).astype(jnp.int32).astype(jnp.float32) * unit
+    r_side = (b[1] >> 8).astype(jnp.int32).astype(jnp.float32) * unit
+    span = cfg.VEHICLE_MAX_SPEED - cfg.VEHICLE_MIN_SPEED + 1
+    r_reroll = cfg.VEHICLE_MIN_SPEED + jnp.minimum(
+        jnp.int32(span - 1),
+        ((b[2] >> 8).astype(jnp.int32).astype(jnp.float32) * unit
+         * span).astype(jnp.int32))
+    return r_mal, r_side, r_reroll, b[3]
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _pad128(n: int) -> int:
+    return max(128, (n + 127) // 128 * 128)
+
+
+def _scalar_plane(vals_and_idx, shape):
+    """Place scalar k at lane position (0, ..., 0, k) of an (..., 8, 128)
+    f32 block (the VMEM-friendly stats row: Mosaic blocked specs need
+    (8, 128) tiles)."""
+    nd = len(shape)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 2)
+    out = jnp.zeros(shape, jnp.float32)
+    for k, v in vals_and_idx:
+        out = jnp.where((sub == 0) & (lane == k),
+                        v.astype(jnp.float32), out)
+    return out
+
+
+def _mega_kernel(cfg: Config, R: int, D4: int, dims: tuple, nmats: int,
+                 *refs):
+    """One grid step = one simulation tick; grid=(R,).  See module
+    docstring for the layout.  `dims` = (H, W, G, L)."""
+    H, W, G, L = dims
+    HW = H * W
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+    (si32, sf32, rain_r, spa_r, spe_r, sdir4_r, wnd_r,
+     g_inter, g_destid, g_destk1, g_nexit, g_exit,
+     b_mask_r, b_ok_r, b_bid_r, b_svcd_r, b_needs_r, b_prod_r,
+     b_inner_r, b_fcap_r, b_wcap_r) = refs[:21]
+    mats_refs = refs[21:21 + nmats]
+    (lstat_r, gstat_r,
+     pa_i, pb_i, pc_i, pd_i, pe_i, pl_i, stop_i,
+     food_i, waste_i, frem_i, wrem_i, li_i, lf_i, lstop_i) = \
+        refs[21 + nmats:21 + nmats + 16]
+    (pa_o, pb_o, pc_o, pd_o, pe_o, pl_o, stop_o,
+     food_o, waste_o, frem_o, wrem_o, li_o, lf_o, lstop_o,
+     stats_o) = refs[21 + nmats + 16:]
+
+    mat_names = ["q_cv", "q_rmv", "q_rh", "q_cmh", "q_og", "bq",
+                 "s_rmv", "s_cv", "s_rh", "s_cmh", "s_ol", "ogl"]
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM in (
+            "NEIGHBOR_PRESSURE_CONTROL", "NEIGHBOR_GREEN_WAVE"):
+        mat_names += ["n0", "n1", "n2", "n3"]
+    mats = {n: r[:] for n, r in zip(mat_names, mats_refs)}
+    neigh = [mats[f"n{d}"] for d in range(4)] if "n0" in mats else None
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        pa_o[:] = pa_i[:]
+        pb_o[:] = pb_i[:]
+        pc_o[:] = pc_i[:]
+        pd_o[:] = pd_i[:]
+        pe_o[:] = pe_i[:]
+        pl_o[:] = pl_i[:]
+        stop_o[:] = stop_i[:]
+        food_o[:] = food_i[:]
+        waste_o[:] = waste_i[:]
+        frem_o[:] = frem_i[:]
+        wrem_o[:] = wrem_i[:]
+        li_o[:] = li_i[:]
+        lf_o[:] = lf_i[:]
+        lstop_o[:] = lstop_i[:]
+
+    pa, pb, pc, pd = pa_o[:], pb_o[:], pc_o[:], pd_o[:]
+    pe, pl_, food, waste = pe_o[:], pl_o[:], food_o[:], waste_o[:]
+    frem, wrem = frem_o[:], wrem_o[:]
+    li = {k: li_o[k:k + 1, :] for k in range(9)}
+    lf = {k: lf_o[k:k + 1, :] for k in range(2)}
+    lstop = lstop_o[0:1, :]
+
+    present = (pa & 1) == 1
+    occ_i8 = (pa & 1).astype(jnp.int8)
+
+    # ---- 2. lights ----------------------------------------------------
+    gvalid = gstat_r[0:1, :] != 0
+    q = _queue_reductions(occ_i8, mats)
+    li, lf = _controllers_rows(cfg, li, lf, gvalid, q[:4], neigh=neigh)
+    li, lstop = _phase_change_rows(
+        cfg, li, lstop, q[4], gvalid, mats["ogl"],
+        lstat_r[0:1, :], lstat_r[1:2, :], lstat_r[2:3, :])
+
+    # host overrides (reset after the first tick by engine semantics)
+    force = lstat_r[3:4, :]
+    apply_force = (t == 0)
+    lstop = jnp.where(apply_force & (force == 0), 0, lstop)
+    lstop = jnp.where(apply_force & (force == 1), 1, lstop)
+
+    stop_map = _stop_map_paint(lstop, mats)
+
+    # ---- 3+4. decide + move -------------------------------------------
+    seeds_t = [si32[0, 0, k].astype(jnp.uint32) for k in range(4)]
+    randoms = _tick_randoms_kernel(cfg, seeds_t, H, W)
+
+    def select(dest):
+        hi = dest >> 2
+        w = jnp.full(dest.shape, jnp.int32(PE.ND_NONE4))
+        for g in range(D4):
+            w = jnp.where(hi == g, sdir4_r[g], w)
+        sh = (dest & 3) * 8
+        return (w >> sh) & 0xFF
+
+    zeros_b = jnp.zeros((H, W), bool)
+    rain_t = rain_r[0][:, :W] != 0   # streams are lane-padded to >= 128
+    out = PE.decide_move_core(
+        cfg, PE._shift_roll, select, wnd_r[:],
+        pa, pb, pc, pd, pe, pl_,
+        stop_map, rain_t, zeros_b,
+        g_inter[:] != 0, g_destid[:],
+        *randoms, unroll=False)
+    pa, pb, pc, pd, pe, pl_, flags = out
+
+    n_new_mal = jnp.sum(flags & PE.FLAG_NEW_MAL)
+    n_new_col = jnp.sum((flags & PE.FLAG_NEW_COL) >> 1)
+
+    # ---- 5. post-move tail in plane space -----------------------------
+    elapsed_t = sf32[0, 0, 0]
+    tick_t = si32[0, 0, 4]          # tick index of this tick (tick0 + t)
+    present = (pa & 1) == 1
+    kind = _fld(pa, PE.PA_KIND_SH, 2)
+    dest14 = _fld(pa, PE.PA_DEST_SH, 14)
+    destid = g_destid[:]
+    at_dest = present & (destid >= 0) & (dest14 == destid)
+    phase0 = _fld(pd, PE.PD_PHASE_SH, 2)
+    dur = elapsed_t - _fld(pc, PE.PC_DEPART_SH, 20).astype(jnp.float32) * dt
+    steps = _fld(pc, PE.PC_STEPS_SH, 12).astype(jnp.float32)
+    done_i = at_dest & (kind == KIND_INTERNAL)
+    done_t_ = at_dest & (kind == KIND_THROUGH)
+    svc_done = at_dest & (kind >= KIND_FOOD) & (phase0 == 2) & \
+        (g_exit[:] != 0)
+
+    # ---- service FSM at block cells (vehicle cell == block cell) ------
+    b_mask = b_mask_r[:] != 0
+    b_ok = b_ok_r[:] != 0
+    b_needs = b_needs_r[:] != 0
+    b_prod = b_prod_r[:] != 0
+    b_fcap = b_fcap_r[:]
+    b_wcap = b_wcap_r[:]
+    b_bid = b_bid_r[:]
+    b_svcd = b_svcd_r[:]
+    is_svc = at_dest & (kind >= KIND_FOOD)
+    sb_raw = _fld(pd, PE.PD_BLOCK_SH, 14)
+    arrive = is_svc & (phase0 == 0)
+    shortage = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
+    surplus = jnp.where(b_mask & b_prod, waste, -1.0)
+    give = jnp.where(arrive & (kind == KIND_FOOD),
+                     jnp.minimum(pl_, jnp.maximum(shortage, 0.0)), 0.0)
+    take = jnp.where(
+        arrive & (kind == KIND_WASTE),
+        jnp.minimum(cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE - pl_,
+                    jnp.maximum(surplus, 0.0)), 0.0)
+    food = jnp.clip(food + give, 0.0, b_fcap)
+    waste = jnp.clip(waste - take, 0.0, b_wcap)
+    pl_ = pl_ - give + take
+    parked = _bit(pa, PE.PA_PARKED_SH) | arrive
+    phase = jnp.where(arrive, 1, phase0)
+    timer = jnp.where(arrive, cfg.SERVICE_VEHICLE_LOAD_TIME,
+                      _fld(pd, PE.PD_TIMER_SH, 8))
+    servicing = is_svc & (phase == 1) & ~arrive
+    timer = jnp.where(servicing, timer - 1, timer)
+    finish = servicing & (timer <= 0)
+    more = jnp.where(kind == KIND_FOOD, pl_ > 0,
+                     pl_ < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
+
+    def blk_argmax(val_plane, fallback_dest):
+        """Neediest block: max value, ties -> lowest block id (matches
+        jnp.argmax over the [B] table).  All-(-1) degenerate case: the
+        table argmax returns slot 0 (reference behavior) — its
+        svc_target rides in as a per-segment scalar."""
+        msk = jnp.where(b_ok, val_plane, -1.0)
+        m = jnp.max(msk)
+        win = b_mask & b_ok & (msk == m)
+        bid = jnp.min(jnp.where(win, b_bid, jnp.int32(1 << 30)))
+        sel = win & (b_bid == bid)
+        d = jnp.min(jnp.where(sel, b_svcd, jnp.int32(1 << 30)))
+        degen = m <= -1.0
+        bid = jnp.where(degen, 0, bid)
+        d = jnp.where(degen, fallback_dest, d)
+        return m, bid, d
+
+    svc0 = si32[0, 0, 5]
+    mf, bidf, df = blk_argmax(shortage, svc0)
+    mw, bidw, dw = blk_argmax(surplus, svc0)
+    has_blk = jnp.where(kind == KIND_FOOD, mf > 0, mw > 0)
+    nxt_dest = jnp.where(kind == KIND_FOOD, df, dw)
+    nxt_blk = jnp.where(kind == KIND_FOOD, bidf, bidw)
+    go_again = finish & more & has_blk
+    go_exit = finish & ~go_again
+    new_dest = jnp.where(go_again, nxt_dest,
+                         jnp.where(go_exit, g_nexit[:], dest14))
+    new_dest = jnp.where(new_dest < 0, DEST_NONE,
+                         jnp.minimum(new_dest, DEST_NONE))
+    new_sb = jnp.where(go_again, nxt_blk,
+                       jnp.where(sb_raw == SVC_BLOCK_NONE,
+                                 SVC_BLOCK_NONE, sb_raw))
+    phase = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase))
+    parked = parked & ~finish
+    pa_svc = (pa & ~jnp.uint32((1 << PE.PA_PARKED_SH)
+                               | (DEST_NONE << PE.PA_DEST_SH))) \
+        | (_u32(parked) << PE.PA_PARKED_SH) \
+        | (_u32(jnp.clip(new_dest, 0, DEST_NONE)) << PE.PA_DEST_SH)
+    pd_svc = (_u32(phase)
+              | (_u32(jnp.clip(timer, 0, 255)) << PE.PD_TIMER_SH)
+              | (_u32(new_sb) << PE.PD_BLOCK_SH))
+    pa = jnp.where(is_svc, pa_svc, pa)
+    pd = jnp.where(is_svc, pd_svc, pd)
+
+    # ---- despawns -----------------------------------------------------
+    if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
+        stuck_v = _fld(pb, PE.PB_STUCK_SH, 12)
+        thr = jnp.where(g_inter[:] != 0,
+                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
+                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD)
+        base_done = done_i | done_t_ | svc_done
+        kill = present & (stuck_v >= thr) & ~base_done
+        n_kill_i = jnp.sum(kill & (kind == KIND_INTERNAL))
+        n_kill_t = jnp.sum(kill & (kind != KIND_INTERNAL))
+        despawn = base_done | kill
+    else:
+        n_kill_i = jnp.int32(0)
+        n_kill_t = jnp.int32(0)
+        despawn = at_dest & (
+            (kind <= KIND_THROUGH)
+            | ((kind >= KIND_FOOD) & (phase == 2) & (g_destk1[:] != 0)))
+
+    z32 = jnp.uint32(0)
+    pa = jnp.where(despawn, z32, pa)
+    pb = jnp.where(despawn, z32, pb)
+    pc = jnp.where(despawn, z32, pc)
+    pd = jnp.where(despawn, z32, pd)
+    pe = jnp.where(despawn, z32, pe)
+    pl_ = jnp.where(despawn, jnp.float32(0), pl_)
+
+    # ---- spawns (pre-scheduled; live occupancy check here) ------------
+    spa = spa_r[0][:, :W]
+    spe = spe_r[0][:, :W]
+    has_spawn = spe >= 0
+    occupied = present & ~despawn
+    place = has_spawn & ~occupied
+    kind_s = _fld(spa, PE.PA_KIND_SH, 2)
+    drop_i = jnp.sum(has_spawn & occupied & (kind_s == KIND_INTERNAL))
+    drop_t = jnp.sum(has_spawn & occupied & (kind_s != KIND_INTERNAL))
+    # service spawn targets: neediest block AFTER this tick's transfers
+    shortage2 = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
+    surplus2 = jnp.where(b_mask & b_prod, waste, -1.0)
+    _, bidf2, df2 = blk_argmax(shortage2, svc0)
+    _, bidw2, dw2 = blk_argmax(surplus2, svc0)
+    sdest = jnp.where(kind_s == KIND_FOOD, df2, dw2)
+    sblk = jnp.where(kind_s == KIND_FOOD, bidf2, bidw2)
+    sdest = jnp.where(sdest < 0, DEST_NONE,
+                      jnp.minimum(sdest, DEST_NONE - 1))
+    is_svc_s = kind_s >= KIND_FOOD
+    spawn_dest = jnp.where(is_svc_s, sdest, _fld(spa, PE.PA_DEST_SH, 14))
+    spawn_pa = (spa & ~jnp.uint32(DEST_NONE << PE.PA_DEST_SH)) \
+        | (_u32(spawn_dest) << PE.PA_DEST_SH)
+    spawn_pd = _u32(jnp.where(is_svc_s, sblk, SVC_BLOCK_NONE)) \
+        << PE.PD_BLOCK_SH
+    spawn_pc = _u32(jnp.clip(tick_t + 1, 0, (1 << 20) - 1))
+    spawn_pl = jnp.where(kind_s == KIND_FOOD,
+                         jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD),
+                         0.0)
+    pa = jnp.where(place, spawn_pa, pa)
+    pb = jnp.where(place, z32, pb)
+    pc = jnp.where(place, spawn_pc, pc)
+    pd = jnp.where(place, spawn_pd, pd)
+    pe = jnp.where(place, _u32(jnp.maximum(spe, 0)), pe)
+    pl_ = jnp.where(place, spawn_pl, pl_)
+
+    # ---- block resources (step_blocks, plane form) --------------------
+    inner = b_inner_r[:]
+    if cfg.GRADUAL_CITY_BLOCK_RESOURCES:
+        frate = inner * jnp.float32(1.0 / cfg.FOOD_CONSUMPTION_TICKS)
+        wrate = inner * jnp.float32(1.0 / cfg.WASTE_PRODUCTION_TICKS)
+        frem = frem + jnp.where(b_mask & b_needs, frate, 0.0)
+        fwhole = jnp.floor(frem)
+        food = jnp.maximum(food - fwhole, 0.0)
+        frem = frem - fwhole
+        wrem = wrem + jnp.where(b_mask & b_prod, wrate, 0.0)
+        wwhole = jnp.floor(wrem)
+        waste = jnp.minimum(waste + wwhole, b_wcap)
+        wrem = wrem - wwhole
+    else:
+        fdue = si32[0, 0, 6] != 0
+        wdue = si32[0, 0, 7] != 0
+        food = jnp.where(b_mask & b_needs & fdue,
+                         jnp.maximum(food - inner, 0.0), food)
+        waste = jnp.where(b_mask & b_prod & wdue,
+                          jnp.minimum(waste + inner, b_wcap), waste)
+
+    # ---- stats row ----------------------------------------------------
+    f32 = lambda x: x.astype(jnp.float32)
+    stats_o[:] = _scalar_plane([
+        (ST_DONE_I, f32(jnp.sum(done_i))),
+        (ST_DONE_T, f32(jnp.sum(done_t_))),
+        (ST_DUR_I, jnp.sum(jnp.where(done_i, dur, 0.0))),
+        (ST_DUR_T, jnp.sum(jnp.where(done_t_, dur, 0.0))),
+        (ST_STEPS_I, jnp.sum(jnp.where(done_i, steps, 0.0))),
+        (ST_STEPS_T, jnp.sum(jnp.where(done_t_, steps, 0.0))),
+        (ST_DONE_SVC, f32(jnp.sum(svc_done))),
+        (ST_DUR_SVC, jnp.sum(jnp.where(svc_done, dur, 0.0))),
+        (ST_STEPS_SVC, jnp.sum(jnp.where(svc_done, steps, 0.0))),
+        (ST_NEW_MAL, f32(n_new_mal)),
+        (ST_NEW_COL, f32(n_new_col)),
+        (ST_KILL_I, f32(n_kill_i)),
+        (ST_KILL_T, f32(n_kill_t)),
+        (ST_DROP_I, f32(drop_i)),
+        (ST_DROP_T, f32(drop_t)),
+    ], stats_o.shape)
+
+    # ---- write carries ------------------------------------------------
+    pa_o[:] = pa
+    pb_o[:] = pb
+    pc_o[:] = pc
+    pd_o[:] = pd
+    pe_o[:] = pe
+    pl_o[:] = pl_
+    stop_o[:] = stop_map.astype(jnp.int32)
+    food_o[:] = food
+    waste_o[:] = waste
+    frem_o[:] = frem
+    wrem_o[:] = wrem
+    for k in range(9):
+        li_o[k:k + 1, :] = li[k]
+    for k in range(2):
+        lf_o[k:k + 1, :] = lf[k]
+    lstop_o[0:1, :] = lstop
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+def _padlane(a, n, axis, fill=0):
+    """Pad axis to length n."""
+    pad = n - a.shape[axis]
+    if pad <= 0:
+        return a
+    cfgp = [(0, 0)] * a.ndim
+    cfgp[axis] = (0, pad)
+    return jnp.pad(a, cfgp, constant_values=fill)
+
+
+MAT_ORDER = ["q_cv", "q_rmv", "q_rh", "q_cmh", "q_og", "bq",
+             "s_rmv", "s_cv", "s_rh", "s_cmh", "s_ol", "ogl"]
+
+
+def mega_ok(cfg: Config, world=None) -> bool:
+    """Gate: the megakernel covers the default FSM algorithms with
+    pedestrians off and stuck-despawn off (both fall back to the
+    per-tick path), on TPU, within the VMEM budget."""
+    import os
+    from .engine import _on_tpu
+    if os.environ.get("TSIM_NO_MEGAKERNEL"):
+        return False
+    if not cfg.USE_PALLAS_ENGINE:
+        return False
+    from ..lights.fsm import FSM_ALGOS
+    if cfg.TRAFFIC_LIGHT_AGENT_ALGORITHM not in FSM_ALGOS:
+        return False
+    if cfg.PEDESTRIANS_ENABLED or cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
+        return False
+    if not (_on_tpu() or os.environ.get("TSIM_MEGA_INTERPRET")):
+        return False
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    D = cfg.MAX_FIELD_DESTS
+    caps = cfg.capacities()
+    G = _pad128(caps.max_groups)
+    L = _pad128(caps.max_lights)
+    Rq = _pad128(caps.max_queue_cells if hasattr(caps, "max_queue_cells")
+                 else 2048)
+    # resident bytes: sdir4 + ~45 planes + run matrices + scoped stack
+    need = (D // 4) * HW * 4 + 45 * HW * 4 \
+        + 4 * (H + W) * Rq * 2 + Rq * G + L * Rq + G * L \
+        + 30 * 1024 * 1024
+    return need < 120 * 1024 * 1024
+
+
+def run_segment_mega(cfg: Config, world, es, cs: dict, sdir, R: int,
+                     interpret: bool = False):
+    """Advance `es` by R ticks with one megakernel launch.  `cs` from
+    `build_chunk_static`; `sdir` = routing_planes output."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..core.state import Overrides
+
+    H, W = cfg.HEIGHT, cfg.WIDTH
+    HW = H * W
+    Wp = _pad128(W)
+    caps = cfg.capacities()
+    V = caps.max_vehicles
+    dt = float(cfg.TIME_PER_STEP_IN_SECONDS)
+    sdir4, wnd, density = sdir
+    D4 = sdir4.shape[0]
+
+    seg = prepare_segment(cfg, world, es, R)
+
+    G0 = es.lights.current_phase.shape[-1]
+    L0 = es.lights.light_stop.shape[-1]
+    Gp, Lp = _pad128(G0), _pad128(L0)
+
+    # ---- scalar streams (R, 8, 128) ------------------------------------
+    DF = world.cost_field.shape[0]
+    bs = world.blocks_static
+    svc_t0 = jnp.where(
+        (bs.service_dest[0] >= 0) & (bs.service_dest[0] < DF),
+        bs.service_dest[0], bs.dest[0])
+    lane = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    ticks = es.tick + jnp.arange(R, dtype=jnp.int32)
+    fdue = (ticks % cfg.FOOD_CONSUMPTION_TICKS) == 0
+    wdue = (ticks % cfg.WASTE_PRODUCTION_TICKS) == 0
+    svals = [seg["seeds"][:, 0], seg["seeds"][:, 1], seg["seeds"][:, 2],
+             seg["seeds"][:, 3], ticks,
+             jnp.broadcast_to(svc_t0, (R,)).astype(jnp.int32),
+             fdue.astype(jnp.int32), wdue.astype(jnp.int32)]
+    si32 = jnp.zeros((R, 8, 128), jnp.int32)
+    for k, v in enumerate(svals):
+        si32 = jnp.where((lane == k)
+                         & (jax.lax.broadcasted_iota(
+                             jnp.int32, (R, 8, 128), 1) == 0),
+                         v[:, None, None], si32)
+    sf32 = jnp.where((lane == 0)
+                     & (jax.lax.broadcasted_iota(
+                         jnp.int32, (R, 8, 128), 1) == 0),
+                     seg["elapsed"][:, None, None],
+                     jnp.zeros((R, 8, 128), jnp.float32))
+
+    # ---- pad streams/matrices/rows to lane multiples -------------------
+    def padw(p, fill=0):
+        return _padlane(p, Wp, p.ndim - 1, fill)
+
+    rain_s = padw(seg["rain_planes"])
+    spa_s = padw(seg["spawn_pa"])
+    spe_s = padw(seg["spawn_pe"], -1)
+
+    Rq = _pad128(cs["q_cv"].shape[1])
+    Sq = _pad128(cs["s_cv"].shape[0])
+    mats = dict(cs)
+    mats["q_cv"] = _padlane(cs["q_cv"], Rq, 1)
+    mats["q_rmv"] = _padlane(cs["q_rmv"], Rq, 1)
+    mats["q_rh"] = _padlane(cs["q_rh"], Rq, 0)
+    mats["q_cmh"] = _padlane(cs["q_cmh"], Rq, 0)
+    mats["q_og"] = _padlane(_padlane(cs["q_og"], Rq, 0), Gp, 1)
+    mats["bq"] = _padlane(cs["bq"], Rq, 1)
+    mats["s_rmv"] = _padlane(cs["s_rmv"], Sq, 1)
+    mats["s_cv"] = _padlane(cs["s_cv"], Sq, 0)
+    mats["s_rh"] = _padlane(cs["s_rh"], Sq, 1)
+    mats["s_cmh"] = _padlane(cs["s_cmh"], Sq, 0)
+    mats["s_ol"] = _padlane(_padlane(cs["s_ol"], Sq, 1), Lp, 0)
+    mats["ogl"] = _padlane(_padlane(cs["ogl"], Lp, 1), Gp, 0)
+    mat_list = [mats[k] for k in MAT_ORDER]
+    nmats = len(mat_list)
+    if "neigh" in cs:
+        mat_list += [_padlane(_padlane(n, Gp, 0), Gp, 1)
+                     for n in cs["neigh"]]
+        nmats += 4
+
+    def rowpad(v, n, fill=0, dtype=jnp.int32):
+        out = jnp.full((8, n), fill, dtype)
+        return out.at[0, :v.shape[-1]].set(v.reshape(-1).astype(dtype))
+
+    lstat = jnp.stack([
+        rowpad(cs["l_valid"], Lp)[0],
+        rowpad(cs["l_axis"], Lp)[0],
+        rowpad(cs["l_hasgrp"], Lp)[0],
+        rowpad(es.overrides.light_force.astype(jnp.int32), Lp, -1)[0],
+        jnp.zeros((Lp,), jnp.int32), jnp.zeros((Lp,), jnp.int32),
+        jnp.zeros((Lp,), jnp.int32), jnp.zeros((Lp,), jnp.int32)])
+    gstat = rowpad(cs["gg_valid"], Gp)
+
+    lt = es.lights
+    li0 = jnp.zeros((N_LI, Gp), jnp.int32)
+    for k, f in enumerate(["current_phase", "pending_phase",
+                           "transition_timer", "clearance_timer",
+                           "ft_phase", "fixed_time_timer", "queue_timer",
+                           "gap_timer", "last_arrival"]):
+        li0 = li0.at[k, :G0].set(getattr(lt, f))
+    lf0 = jnp.zeros((N_LF, Gp), jnp.float32)
+    lf0 = lf0.at[0, :G0].set(lt.ns_pressure)
+    lf0 = lf0.at[1, :G0].set(lt.ew_pressure)
+    lstop0 = rowpad(lt.light_stop.astype(jnp.int32), Lp)
+
+    bst = es.blocks
+    bcell = cs["bcell"]
+
+    def bplane(vals, dtype=jnp.float32):
+        buf = jnp.zeros((HW + 1,), dtype)
+        return buf.at[bcell].set(vals.astype(dtype),
+                                 mode="drop")[:HW].reshape(H, W)
+
+    food0 = bplane(bst.food)
+    waste0 = bplane(bst.waste)
+    frem0 = bplane(bst.food_rem)
+    wrem0 = bplane(bst.waste_rem)
+
+    # ---- assemble pallas call ------------------------------------------
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    stream = lambda: pl.BlockSpec((1, H, Wp), lambda t: (t, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    srow = lambda: pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    in_specs = ([srow(), srow()] + [stream()] * 3
+                + [whole() for _ in range(16 + nmats + 16)])
+    out_specs = tuple([whole() for _ in range(14)]
+                      + [pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM)])
+    out_shape = (
+        (jax.ShapeDtypeStruct((H, W), jnp.uint32),) * 5
+        + (jax.ShapeDtypeStruct((H, W), jnp.float32),)
+        + (jax.ShapeDtypeStruct((H, W), jnp.int32),)
+        + (jax.ShapeDtypeStruct((H, W), jnp.float32),) * 4
+        + (jax.ShapeDtypeStruct((N_LI, Gp), jnp.int32),
+           jax.ShapeDtypeStruct((N_LF, Gp), jnp.float32),
+           jax.ShapeDtypeStruct((8, Lp), jnp.int32),
+           jax.ShapeDtypeStruct((R, 8, 128), jnp.float32)))
+
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+            dimension_semantics=("arbitrary",))
+
+    inputs = (
+        si32, sf32, rain_s, spa_s, spe_s,
+        sdir4, wnd,
+        cs["g_inter"], cs["g_destid"], cs["g_destkind1"], cs["g_nexit"],
+        cs["g_exitcell"],
+        cs["b_mask"], cs["b_ok"], cs["b_bid"], cs["b_svcdest"],
+        cs["b_needs"], cs["b_prod"],
+        cs["b_inner"], cs["b_fcap"], cs["b_wcap"],
+        *mat_list,
+        lstat, gstat,
+        es.pa, es.pb, es.pc, es.pd, es.pe, es.pl,
+        es.stop_map.astype(jnp.int32),
+        food0, waste0, frem0, wrem0, li0, lf0, lstop0)
+
+    outs = pl.pallas_call(
+        functools.partial(_mega_kernel, cfg, R, D4, (H, W, Gp, Lp),
+                          nmats),
+        grid=(R,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret, **kw)(*inputs)
+
+    (pa, pb, pc, pd, pe, pl_, stop, food_p, waste_p, frem_p, wrem_p,
+     li, lf, lstop, stats_p) = outs
+
+    # ---- rebuild engine state ------------------------------------------
+    stats = stats_p[:, 0, :N_STATS]          # [R, 16]
+
+    lights = es.lights.replace(
+        current_phase=li[0, :G0], pending_phase=li[1, :G0],
+        transition_timer=li[2, :G0], clearance_timer=li[3, :G0],
+        ft_phase=li[4, :G0], fixed_time_timer=li[5, :G0],
+        queue_timer=li[6, :G0], gap_timer=li[7, :G0],
+        last_arrival=li[8, :G0],
+        ns_pressure=lf[0, :G0], ew_pressure=lf[1, :G0],
+        light_stop=lstop[0, :L0] != 0)
+
+    bf = food_p.reshape(-1)
+    bw = waste_p.reshape(-1)
+    bfr = frem_p.reshape(-1)
+    bwr = wrem_p.reshape(-1)
+    has_home = cs["has_home"]
+    cellc = jnp.clip(bcell, 0, HW - 1)
+    blocks = es.blocks.replace(
+        food=jnp.where(has_home, bf[cellc], es.blocks.food),
+        waste=jnp.where(has_home, bw[cellc], es.blocks.waste),
+        food_rem=jnp.where(has_home, bfr[cellc], es.blocks.food_rem),
+        waste_rem=jnp.where(has_home, bwr[cellc], es.blocks.waste_rem))
+
+    # slot bookkeeping: recompute the used mask from the final planes
+    paf = pa.reshape(-1)
+    slot = jnp.where((paf & 1) == 1,
+                     pe.reshape(-1).astype(jnp.int32), V)
+    slot_used = jnp.zeros((V + 1,), bool).at[slot].set(
+        True, mode="drop")[:V]
+
+    # ---- metrics fold ---------------------------------------------------
+    m = es.metrics
+    i32 = lambda x: x.astype(jnp.int32)
+    created = seg["created"]
+    drop_s = seg["drop_static"]
+    off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
+           + cfg.SIMULATION_STARTING_TIME_OF_DAY_MINUTES * 60)
+    for t in range(R):
+        s = stats[t]
+        n_svc = i32(s[ST_DONE_SVC])
+        m = m.replace(
+            completed_internal=m.completed_internal + i32(s[ST_DONE_I]),
+            completed_through=m.completed_through + i32(s[ST_DONE_T])
+            + n_svc,
+            completed_service=m.completed_service + n_svc,
+            sum_duration_internal=m.sum_duration_internal + s[ST_DUR_I],
+            sum_duration_through=m.sum_duration_through + s[ST_DUR_T]
+            + s[ST_DUR_SVC],
+            sum_steps_internal=m.sum_steps_internal + i32(s[ST_STEPS_I]),
+            sum_steps_through=m.sum_steps_through
+            + i32(s[ST_STEPS_T] + s[ST_STEPS_SVC]),
+            malfunctions_total=m.malfunctions_total + i32(s[ST_NEW_MAL]),
+            collisions_total=m.collisions_total + i32(s[ST_NEW_COL]),
+            created_internal=m.created_internal + created[t, 0],
+            created_through=m.created_through + created[t, 1],
+            created_service=m.created_service + created[t, 2]
+            + created[t, 3],
+            errored_internal=m.errored_internal + drop_s[t, 0]
+            + i32(s[ST_DROP_I]) + i32(s[ST_KILL_I]),
+            errored_through=m.errored_through + drop_s[t, 1]
+            + i32(s[ST_DROP_T]) + i32(s[ST_KILL_T]))
+        new_day = ((off + seg["elapsed"][t]) // 86400).astype(jnp.int32)
+        rolled = new_day > m.day
+        tick_created = created[t, 0] + created[t, 1]
+        tick_finished = i32(s[ST_DONE_I] + s[ST_DONE_T]) + n_svc
+        m = m.replace(
+            last_daily_difference=jnp.where(
+                rolled, m.daily_finished - m.daily_created,
+                m.last_daily_difference),
+            daily_diff_sum=jnp.where(
+                rolled,
+                m.daily_diff_sum + m.daily_finished - m.daily_created,
+                m.daily_diff_sum),
+            days_completed=jnp.where(rolled, m.days_completed + 1,
+                                     m.days_completed),
+            daily_created=jnp.where(rolled, tick_created,
+                                    m.daily_created + tick_created),
+            daily_finished=jnp.where(rolled, tick_finished,
+                                     m.daily_finished + tick_finished),
+            day=new_day)
+
+    return es.replace(
+        pa=pa, pb=pb, pc=pc, pd=pd, pe=pe, pl=pl_,
+        slot_used=slot_used,
+        stop_map=stop != 0,
+        rain_map=seg["final_rain_map"],
+        density=density,
+        lights=lights, blocks=blocks, rain=seg["final_rain"],
+        dem_cursor=seg["final_cursor"],
+        metrics=m,
+        overrides=Overrides(
+            light_force=jnp.full_like(es.overrides.light_force, -1),
+            spawn_rain=jnp.bool_(False)),
+        tick=es.tick + R,
+        elapsed=es.elapsed + R * dt,
+        key=seg["final_key"])

@@ -199,6 +199,26 @@ def run_chunk(cfg: Config, world: World, n: int,
     es = _enter_engine(cfg, world)
     R = max(1, cfg.PATHFINDING_COOLDOWN) if cfg.PATHFINDING_CACHE else 1
     S = cfg.capacities().max_spawns_per_tick
+
+    from .ops import megakernel
+    if megakernel.mega_ok(cfg):
+        import os
+        interp = bool(os.environ.get("TSIM_MEGA_INTERPRET"))
+        cs = megakernel.build_chunk_static(cfg, world)
+
+        def mega_seg(e, length):
+            sdir = engine.routing_planes(cfg, world, e)
+            return megakernel.run_segment_mega(cfg, world, e, cs, sdir,
+                                               length, interpret=interp)
+
+        q, r = divmod(n, R)
+        if q:
+            es, _ = jax.lax.scan(lambda e, _: (mega_seg(e, R), None), es,
+                                 None, length=q)
+        if r:
+            es = mega_seg(es, r)
+        return _exit_engine(cfg, world, es)
+
     if dense_reducers:
         m_ok, a_ok = fsm.dense_reducer_modes(cfg)
         dense = fsm.build_dense_reducers(cfg, world.grid,
