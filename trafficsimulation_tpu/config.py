@@ -265,6 +265,11 @@ class Config:
     A2C_LAMBDA: float = 0.75
     A2C_UPDATE_EVERY: int = 32
     A2C_BATCH_SIZE: int = 256
+    # exact-reference GAE trajectory: run the advantage recursion over
+    # the FLAT interleaved rollout buffer like `compute_gae`
+    # (`rl_a2c.py:183-192` over storage order) instead of per group
+    # along time (the declared-deviation default; PARITY.md)
+    A2C_INTERLEAVED_GAE: bool = False
     A2C_ENTROPY_MAX: float = 0.01
     A2C_ENTROPY_MIN: float = 0.001
     A2C_ENTROPY_DECAY_STEPS: int = 64

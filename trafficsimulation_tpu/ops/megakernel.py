@@ -605,6 +605,9 @@ def _mega_kernel(cfg: Config, R: int, D4: int, dims: tuple, nmats: int,
     mats = {n: r[:] for n, r in zip(mat_names, mats_refs)}
     neigh = [mats[f"n{d}"] for d in range(4)] if "n0" in mats else None
 
+    import os
+    _skip = frozenset(os.environ.get("TSIM_MEGA_STUB", "").split(","))
+
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -636,11 +639,20 @@ def _mega_kernel(cfg: Config, R: int, D4: int, dims: tuple, nmats: int,
 
     # ---- 2. lights ----------------------------------------------------
     gvalid = gstat_r[0:1, :] != 0
-    q = _queue_reductions(occ_i8, mats)
-    li, lf = _controllers_rows(cfg, li, lf, gvalid, q[:4], neigh=neigh)
-    li, lstop = _phase_change_rows(
-        cfg, li, lstop, q[4], gvalid, mats["ogl"],
-        lstat_r[0:1, :], lstat_r[1:2, :], lstat_r[2:3, :])
+    if "qred" in _skip:
+        z = jnp.zeros_like(gvalid, dtype=jnp.int32) \
+            + occ_i8[:1, :1].astype(jnp.int32).sum()
+        q = (z, z, z, z, z > 1)
+    else:
+        q = _queue_reductions(occ_i8, mats)
+    if "fsm" in _skip:
+        lstop = lstop | (q[0][:1, :1] > (1 << 30))
+    else:
+        li, lf = _controllers_rows(cfg, li, lf, gvalid, q[:4],
+                                   neigh=neigh)
+        li, lstop = _phase_change_rows(
+            cfg, li, lstop, q[4], gvalid, mats["ogl"],
+            lstat_r[0:1, :], lstat_r[1:2, :], lstat_r[2:3, :])
 
     # host overrides (reset after the first tick by engine semantics)
     force = lstat_r[3:4, :]
@@ -648,7 +660,11 @@ def _mega_kernel(cfg: Config, R: int, D4: int, dims: tuple, nmats: int,
     lstop = jnp.where(apply_force & (force == 0), 0, lstop)
     lstop = jnp.where(apply_force & (force == 1), 1, lstop)
 
-    stop_map = _stop_map_paint(lstop, mats)
+    if "paint" in _skip:
+        stop_map = stop_o[:] != 0
+        stop_map = stop_map & ~(lstop[:1, :1] > (1 << 30))
+    else:
+        stop_map = _stop_map_paint(lstop, mats)
 
     # ---- 3+4. decide + move -------------------------------------------
     seeds_t = [si32[0, 0, k].astype(jnp.uint32) for k in range(4)]
@@ -664,210 +680,227 @@ def _mega_kernel(cfg: Config, R: int, D4: int, dims: tuple, nmats: int,
 
     zeros_b = jnp.zeros((H, W), bool)
     rain_t = rain_r[0][:, :W] != 0   # streams are lane-padded to >= 128
-    out = PE.decide_move_core(
-        cfg, PE._shift_roll, select, wnd_r[:],
-        pa, pb, pc, pd, pe, pl_,
-        stop_map, rain_t, zeros_b,
-        g_inter[:] != 0, g_destid[:],
-        *randoms, unroll=False)
-    pa, pb, pc, pd, pe, pl_, flags = out
+    if "core" in _skip:
+        dep = (select(jnp.zeros((H, W), jnp.int32))
+               + wnd_r[:1, :1] + randoms[3][:1, :1].astype(jnp.int32)
+               + stop_map[:1, :1].astype(jnp.int32)
+               + rain_t[:1, :1].astype(jnp.int32))
+        pa = pa ^ (dep.astype(jnp.uint32) & 0)
+        flags = jnp.zeros((H, W), jnp.int32)
+    else:
+        out = PE.decide_move_core(
+            cfg, PE._shift_roll, select, wnd_r[:],
+            pa, pb, pc, pd, pe, pl_,
+            stop_map, rain_t, zeros_b,
+            g_inter[:] != 0, g_destid[:],
+            *randoms, unroll=False)
+        pa, pb, pc, pd, pe, pl_, flags = out
 
     n_new_mal = jnp.sum(flags & PE.FLAG_NEW_MAL)
     n_new_col = jnp.sum((flags & PE.FLAG_NEW_COL) >> 1)
 
     # ---- 5. post-move tail in plane space -----------------------------
-    elapsed_t = sf32[0, 0, 0]
-    tick_t = si32[0, 0, 4]          # tick index of this tick (tick0 + t)
-    present = (pa & 1) == 1
-    kind = _fld(pa, PE.PA_KIND_SH, 2)
-    dest14 = _fld(pa, PE.PA_DEST_SH, 14)
-    destid = g_destid[:]
-    at_dest = present & (destid >= 0) & (dest14 == destid)
-    phase0 = _fld(pd, PE.PD_PHASE_SH, 2)
-    dur = elapsed_t - _fld(pc, PE.PC_DEPART_SH, 20).astype(jnp.float32) * dt
-    steps = _fld(pc, PE.PC_STEPS_SH, 12).astype(jnp.float32)
-    done_i = at_dest & (kind == KIND_INTERNAL)
-    done_t_ = at_dest & (kind == KIND_THROUGH)
-    svc_done = at_dest & (kind >= KIND_FOOD) & (phase0 == 2) & \
-        (g_exit[:] != 0)
-
-    # ---- service FSM at block cells (vehicle cell == block cell) ------
-    b_mask = b_mask_r[:] != 0
-    b_ok = b_ok_r[:] != 0
-    b_needs = b_needs_r[:] != 0
-    b_prod = b_prod_r[:] != 0
-    b_fcap = b_fcap_r[:]
-    b_wcap = b_wcap_r[:]
-    b_bid = b_bid_r[:]
-    b_svcd = b_svcd_r[:]
-    is_svc = at_dest & (kind >= KIND_FOOD)
-    sb_raw = _fld(pd, PE.PD_BLOCK_SH, 14)
-    arrive = is_svc & (phase0 == 0)
-    shortage = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
-    surplus = jnp.where(b_mask & b_prod, waste, -1.0)
-    give = jnp.where(arrive & (kind == KIND_FOOD),
-                     jnp.minimum(pl_, jnp.maximum(shortage, 0.0)), 0.0)
-    take = jnp.where(
-        arrive & (kind == KIND_WASTE),
-        jnp.minimum(cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE - pl_,
-                    jnp.maximum(surplus, 0.0)), 0.0)
-    food = jnp.clip(food + give, 0.0, b_fcap)
-    waste = jnp.clip(waste - take, 0.0, b_wcap)
-    pl_ = pl_ - give + take
-    parked = _bit(pa, PE.PA_PARKED_SH) | arrive
-    phase = jnp.where(arrive, 1, phase0)
-    timer = jnp.where(arrive, cfg.SERVICE_VEHICLE_LOAD_TIME,
-                      _fld(pd, PE.PD_TIMER_SH, 8))
-    servicing = is_svc & (phase == 1) & ~arrive
-    timer = jnp.where(servicing, timer - 1, timer)
-    finish = servicing & (timer <= 0)
-    more = jnp.where(kind == KIND_FOOD, pl_ > 0,
-                     pl_ < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
-
-    def blk_argmax(val_plane, fallback_dest):
-        """Neediest block: max value, ties -> lowest block id (matches
-        jnp.argmax over the [B] table).  All-(-1) degenerate case: the
-        table argmax returns slot 0 (reference behavior) — its
-        svc_target rides in as a per-segment scalar."""
-        msk = jnp.where(b_ok, val_plane, -1.0)
-        m = jnp.max(msk)
-        win = b_mask & b_ok & (msk == m)
-        bid = jnp.min(jnp.where(win, b_bid, jnp.int32(1 << 30)))
-        sel = win & (b_bid == bid)
-        d = jnp.min(jnp.where(sel, b_svcd, jnp.int32(1 << 30)))
-        degen = m <= -1.0
-        bid = jnp.where(degen, 0, bid)
-        d = jnp.where(degen, fallback_dest, d)
-        return m, bid, d
-
-    svc0 = si32[0, 0, 5]
-    mf, bidf, df = blk_argmax(shortage, svc0)
-    mw, bidw, dw = blk_argmax(surplus, svc0)
-    has_blk = jnp.where(kind == KIND_FOOD, mf > 0, mw > 0)
-    nxt_dest = jnp.where(kind == KIND_FOOD, df, dw)
-    nxt_blk = jnp.where(kind == KIND_FOOD, bidf, bidw)
-    go_again = finish & more & has_blk
-    go_exit = finish & ~go_again
-    new_dest = jnp.where(go_again, nxt_dest,
-                         jnp.where(go_exit, g_nexit[:], dest14))
-    new_dest = jnp.where(new_dest < 0, DEST_NONE,
-                         jnp.minimum(new_dest, DEST_NONE))
-    new_sb = jnp.where(go_again, nxt_blk,
-                       jnp.where(sb_raw == SVC_BLOCK_NONE,
-                                 SVC_BLOCK_NONE, sb_raw))
-    phase = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase))
-    parked = parked & ~finish
-    pa_svc = (pa & ~jnp.uint32((1 << PE.PA_PARKED_SH)
-                               | (DEST_NONE << PE.PA_DEST_SH))) \
-        | (_u32(parked) << PE.PA_PARKED_SH) \
-        | (_u32(jnp.clip(new_dest, 0, DEST_NONE)) << PE.PA_DEST_SH)
-    pd_svc = (_u32(phase)
-              | (_u32(jnp.clip(timer, 0, 255)) << PE.PD_TIMER_SH)
-              | (_u32(new_sb) << PE.PD_BLOCK_SH))
-    pa = jnp.where(is_svc, pa_svc, pa)
-    pd = jnp.where(is_svc, pd_svc, pd)
-
-    # ---- despawns -----------------------------------------------------
-    if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
-        stuck_v = _fld(pb, PE.PB_STUCK_SH, 12)
-        thr = jnp.where(g_inter[:] != 0,
-                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
-                        cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD)
-        base_done = done_i | done_t_ | svc_done
-        kill = present & (stuck_v >= thr) & ~base_done
-        n_kill_i = jnp.sum(kill & (kind == KIND_INTERNAL))
-        n_kill_t = jnp.sum(kill & (kind != KIND_INTERNAL))
-        despawn = base_done | kill
+    if "post" in _skip:
+        dep = (spa_r[0][:1, :1].astype(jnp.int32)
+               + spe_r[0][:1, :1]
+               + flags[:1, :1] + b_mask_r[:1, :1]
+               + si32[0, 0, 4] + sf32[0, 0, 0].astype(jnp.int32))
+        pa = pa ^ (dep.astype(jnp.uint32) & 0)
+        stats_o[:] = _scalar_plane(
+            [(0, dep.astype(jnp.float32) * 0)], stats_o.shape)
     else:
-        n_kill_i = jnp.int32(0)
-        n_kill_t = jnp.int32(0)
-        despawn = at_dest & (
-            (kind <= KIND_THROUGH)
-            | ((kind >= KIND_FOOD) & (phase == 2) & (g_destk1[:] != 0)))
+        elapsed_t = sf32[0, 0, 0]
+        tick_t = si32[0, 0, 4]          # tick index of this tick (tick0 + t)
+        present = (pa & 1) == 1
+        kind = _fld(pa, PE.PA_KIND_SH, 2)
+        dest14 = _fld(pa, PE.PA_DEST_SH, 14)
+        destid = g_destid[:]
+        at_dest = present & (destid >= 0) & (dest14 == destid)
+        phase0 = _fld(pd, PE.PD_PHASE_SH, 2)
+        dur = elapsed_t - _fld(pc, PE.PC_DEPART_SH, 20).astype(jnp.float32) * dt
+        steps = _fld(pc, PE.PC_STEPS_SH, 12).astype(jnp.float32)
+        done_i = at_dest & (kind == KIND_INTERNAL)
+        done_t_ = at_dest & (kind == KIND_THROUGH)
+        svc_done = at_dest & (kind >= KIND_FOOD) & (phase0 == 2) & \
+            (g_exit[:] != 0)
 
-    z32 = jnp.uint32(0)
-    pa = jnp.where(despawn, z32, pa)
-    pb = jnp.where(despawn, z32, pb)
-    pc = jnp.where(despawn, z32, pc)
-    pd = jnp.where(despawn, z32, pd)
-    pe = jnp.where(despawn, z32, pe)
-    pl_ = jnp.where(despawn, jnp.float32(0), pl_)
+        # ---- service FSM at block cells (vehicle cell == block cell) ------
+        b_mask = b_mask_r[:] != 0
+        b_ok = b_ok_r[:] != 0
+        b_needs = b_needs_r[:] != 0
+        b_prod = b_prod_r[:] != 0
+        b_fcap = b_fcap_r[:]
+        b_wcap = b_wcap_r[:]
+        b_bid = b_bid_r[:]
+        b_svcd = b_svcd_r[:]
+        is_svc = at_dest & (kind >= KIND_FOOD)
+        sb_raw = _fld(pd, PE.PD_BLOCK_SH, 14)
+        arrive = is_svc & (phase0 == 0)
+        shortage = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
+        surplus = jnp.where(b_mask & b_prod, waste, -1.0)
+        give = jnp.where(arrive & (kind == KIND_FOOD),
+                         jnp.minimum(pl_, jnp.maximum(shortage, 0.0)), 0.0)
+        take = jnp.where(
+            arrive & (kind == KIND_WASTE),
+            jnp.minimum(cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE - pl_,
+                        jnp.maximum(surplus, 0.0)), 0.0)
+        food = jnp.clip(food + give, 0.0, b_fcap)
+        waste = jnp.clip(waste - take, 0.0, b_wcap)
+        pl_ = pl_ - give + take
+        parked = _bit(pa, PE.PA_PARKED_SH) | arrive
+        phase = jnp.where(arrive, 1, phase0)
+        timer = jnp.where(arrive, cfg.SERVICE_VEHICLE_LOAD_TIME,
+                          _fld(pd, PE.PD_TIMER_SH, 8))
+        servicing = is_svc & (phase == 1) & ~arrive
+        timer = jnp.where(servicing, timer - 1, timer)
+        finish = servicing & (timer <= 0)
+        more = jnp.where(kind == KIND_FOOD, pl_ > 0,
+                         pl_ < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
 
-    # ---- spawns (pre-scheduled; live occupancy check here) ------------
-    spa = spa_r[0][:, :W]
-    spe = spe_r[0][:, :W]
-    has_spawn = spe >= 0
-    occupied = present & ~despawn
-    place = has_spawn & ~occupied
-    kind_s = _fld(spa, PE.PA_KIND_SH, 2)
-    drop_i = jnp.sum(has_spawn & occupied & (kind_s == KIND_INTERNAL))
-    drop_t = jnp.sum(has_spawn & occupied & (kind_s != KIND_INTERNAL))
-    # service spawn targets: neediest block AFTER this tick's transfers
-    shortage2 = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
-    surplus2 = jnp.where(b_mask & b_prod, waste, -1.0)
-    _, bidf2, df2 = blk_argmax(shortage2, svc0)
-    _, bidw2, dw2 = blk_argmax(surplus2, svc0)
-    sdest = jnp.where(kind_s == KIND_FOOD, df2, dw2)
-    sblk = jnp.where(kind_s == KIND_FOOD, bidf2, bidw2)
-    sdest = jnp.where(sdest < 0, DEST_NONE,
-                      jnp.minimum(sdest, DEST_NONE - 1))
-    is_svc_s = kind_s >= KIND_FOOD
-    spawn_dest = jnp.where(is_svc_s, sdest, _fld(spa, PE.PA_DEST_SH, 14))
-    spawn_pa = (spa & ~jnp.uint32(DEST_NONE << PE.PA_DEST_SH)) \
-        | (_u32(spawn_dest) << PE.PA_DEST_SH)
-    spawn_pd = _u32(jnp.where(is_svc_s, sblk, SVC_BLOCK_NONE)) \
-        << PE.PD_BLOCK_SH
-    spawn_pc = _u32(jnp.clip(tick_t + 1, 0, (1 << 20) - 1))
-    spawn_pl = jnp.where(kind_s == KIND_FOOD,
-                         jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD),
-                         0.0)
-    pa = jnp.where(place, spawn_pa, pa)
-    pb = jnp.where(place, z32, pb)
-    pc = jnp.where(place, spawn_pc, pc)
-    pd = jnp.where(place, spawn_pd, pd)
-    pe = jnp.where(place, _u32(jnp.maximum(spe, 0)), pe)
-    pl_ = jnp.where(place, spawn_pl, pl_)
+        def blk_argmax(val_plane, fallback_dest):
+            """Neediest block: max value, ties -> lowest block id (matches
+            jnp.argmax over the [B] table).  All-(-1) degenerate case: the
+            table argmax returns slot 0 (reference behavior) — its
+            svc_target rides in as a per-segment scalar."""
+            msk = jnp.where(b_ok, val_plane, -1.0)
+            m = jnp.max(msk)
+            win = b_mask & b_ok & (msk == m)
+            bid = jnp.min(jnp.where(win, b_bid, jnp.int32(1 << 30)))
+            sel = win & (b_bid == bid)
+            d = jnp.min(jnp.where(sel, b_svcd, jnp.int32(1 << 30)))
+            degen = m <= -1.0
+            bid = jnp.where(degen, 0, bid)
+            d = jnp.where(degen, fallback_dest, d)
+            return m, bid, d
 
-    # ---- block resources (step_blocks, plane form) --------------------
-    inner = b_inner_r[:]
-    if cfg.GRADUAL_CITY_BLOCK_RESOURCES:
-        frate = inner * jnp.float32(1.0 / cfg.FOOD_CONSUMPTION_TICKS)
-        wrate = inner * jnp.float32(1.0 / cfg.WASTE_PRODUCTION_TICKS)
-        frem = frem + jnp.where(b_mask & b_needs, frate, 0.0)
-        fwhole = jnp.floor(frem)
-        food = jnp.maximum(food - fwhole, 0.0)
-        frem = frem - fwhole
-        wrem = wrem + jnp.where(b_mask & b_prod, wrate, 0.0)
-        wwhole = jnp.floor(wrem)
-        waste = jnp.minimum(waste + wwhole, b_wcap)
-        wrem = wrem - wwhole
-    else:
-        fdue = si32[0, 0, 6] != 0
-        wdue = si32[0, 0, 7] != 0
-        food = jnp.where(b_mask & b_needs & fdue,
-                         jnp.maximum(food - inner, 0.0), food)
-        waste = jnp.where(b_mask & b_prod & wdue,
-                          jnp.minimum(waste + inner, b_wcap), waste)
+        svc0 = si32[0, 0, 5]
+        mf, bidf, df = blk_argmax(shortage, svc0)
+        mw, bidw, dw = blk_argmax(surplus, svc0)
+        has_blk = jnp.where(kind == KIND_FOOD, mf > 0, mw > 0)
+        nxt_dest = jnp.where(kind == KIND_FOOD, df, dw)
+        nxt_blk = jnp.where(kind == KIND_FOOD, bidf, bidw)
+        go_again = finish & more & has_blk
+        go_exit = finish & ~go_again
+        new_dest = jnp.where(go_again, nxt_dest,
+                             jnp.where(go_exit, g_nexit[:], dest14))
+        new_dest = jnp.where(new_dest < 0, DEST_NONE,
+                             jnp.minimum(new_dest, DEST_NONE))
+        new_sb = jnp.where(go_again, nxt_blk,
+                           jnp.where(sb_raw == SVC_BLOCK_NONE,
+                                     SVC_BLOCK_NONE, sb_raw))
+        phase = jnp.where(go_again, 0, jnp.where(go_exit, 2, phase))
+        parked = parked & ~finish
+        pa_svc = (pa & ~jnp.uint32((1 << PE.PA_PARKED_SH)
+                                   | (DEST_NONE << PE.PA_DEST_SH))) \
+            | (_u32(parked) << PE.PA_PARKED_SH) \
+            | (_u32(jnp.clip(new_dest, 0, DEST_NONE)) << PE.PA_DEST_SH)
+        pd_svc = (_u32(phase)
+                  | (_u32(jnp.clip(timer, 0, 255)) << PE.PD_TIMER_SH)
+                  | (_u32(new_sb) << PE.PD_BLOCK_SH))
+        pa = jnp.where(is_svc, pa_svc, pa)
+        pd = jnp.where(is_svc, pd_svc, pd)
 
-    # ---- stats row ----------------------------------------------------
-    f32 = lambda x: x.astype(jnp.float32)
-    stats_o[:] = _scalar_plane([
-        (ST_DONE_I, f32(jnp.sum(done_i))),
-        (ST_DONE_T, f32(jnp.sum(done_t_))),
-        (ST_DUR_I, jnp.sum(jnp.where(done_i, dur, 0.0))),
-        (ST_DUR_T, jnp.sum(jnp.where(done_t_, dur, 0.0))),
-        (ST_STEPS_I, jnp.sum(jnp.where(done_i, steps, 0.0))),
-        (ST_STEPS_T, jnp.sum(jnp.where(done_t_, steps, 0.0))),
-        (ST_DONE_SVC, f32(jnp.sum(svc_done))),
-        (ST_DUR_SVC, jnp.sum(jnp.where(svc_done, dur, 0.0))),
-        (ST_STEPS_SVC, jnp.sum(jnp.where(svc_done, steps, 0.0))),
-        (ST_NEW_MAL, f32(n_new_mal)),
-        (ST_NEW_COL, f32(n_new_col)),
-        (ST_KILL_I, f32(n_kill_i)),
-        (ST_KILL_T, f32(n_kill_t)),
-        (ST_DROP_I, f32(drop_i)),
-        (ST_DROP_T, f32(drop_t)),
-    ], stats_o.shape)
+        # ---- despawns -----------------------------------------------------
+        if cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
+            stuck_v = _fld(pb, PE.PB_STUCK_SH, 12)
+            thr = jnp.where(g_inter[:] != 0,
+                            cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD_INTERSECTION,
+                            cfg.VEHICLE_STUCK_DESPAWN_THRESHOLD)
+            base_done = done_i | done_t_ | svc_done
+            kill = present & (stuck_v >= thr) & ~base_done
+            n_kill_i = jnp.sum(kill & (kind == KIND_INTERNAL))
+            n_kill_t = jnp.sum(kill & (kind != KIND_INTERNAL))
+            despawn = base_done | kill
+        else:
+            n_kill_i = jnp.int32(0)
+            n_kill_t = jnp.int32(0)
+            despawn = at_dest & (
+                (kind <= KIND_THROUGH)
+                | ((kind >= KIND_FOOD) & (phase == 2) & (g_destk1[:] != 0)))
+
+        z32 = jnp.uint32(0)
+        pa = jnp.where(despawn, z32, pa)
+        pb = jnp.where(despawn, z32, pb)
+        pc = jnp.where(despawn, z32, pc)
+        pd = jnp.where(despawn, z32, pd)
+        pe = jnp.where(despawn, z32, pe)
+        pl_ = jnp.where(despawn, jnp.float32(0), pl_)
+
+        # ---- spawns (pre-scheduled; live occupancy check here) ------------
+        spa = spa_r[0][:, :W]
+        spe = spe_r[0][:, :W]
+        has_spawn = spe >= 0
+        occupied = present & ~despawn
+        place = has_spawn & ~occupied
+        kind_s = _fld(spa, PE.PA_KIND_SH, 2)
+        drop_i = jnp.sum(has_spawn & occupied & (kind_s == KIND_INTERNAL))
+        drop_t = jnp.sum(has_spawn & occupied & (kind_s != KIND_INTERNAL))
+        # service spawn targets: neediest block AFTER this tick's transfers
+        shortage2 = jnp.where(b_mask & b_needs, b_fcap - food, -1.0)
+        surplus2 = jnp.where(b_mask & b_prod, waste, -1.0)
+        _, bidf2, df2 = blk_argmax(shortage2, svc0)
+        _, bidw2, dw2 = blk_argmax(surplus2, svc0)
+        sdest = jnp.where(kind_s == KIND_FOOD, df2, dw2)
+        sblk = jnp.where(kind_s == KIND_FOOD, bidf2, bidw2)
+        sdest = jnp.where(sdest < 0, DEST_NONE,
+                          jnp.minimum(sdest, DEST_NONE - 1))
+        is_svc_s = kind_s >= KIND_FOOD
+        spawn_dest = jnp.where(is_svc_s, sdest, _fld(spa, PE.PA_DEST_SH, 14))
+        spawn_pa = (spa & ~jnp.uint32(DEST_NONE << PE.PA_DEST_SH)) \
+            | (_u32(spawn_dest) << PE.PA_DEST_SH)
+        spawn_pd = _u32(jnp.where(is_svc_s, sblk, SVC_BLOCK_NONE)) \
+            << PE.PD_BLOCK_SH
+        spawn_pc = _u32(jnp.clip(tick_t + 1, 0, (1 << 20) - 1))
+        spawn_pl = jnp.where(kind_s == KIND_FOOD,
+                             jnp.float32(cfg.SERVICE_VEHICLE_MAX_LOAD_FOOD),
+                             0.0)
+        pa = jnp.where(place, spawn_pa, pa)
+        pb = jnp.where(place, z32, pb)
+        pc = jnp.where(place, spawn_pc, pc)
+        pd = jnp.where(place, spawn_pd, pd)
+        pe = jnp.where(place, _u32(jnp.maximum(spe, 0)), pe)
+        pl_ = jnp.where(place, spawn_pl, pl_)
+
+        # ---- block resources (step_blocks, plane form) --------------------
+        inner = b_inner_r[:]
+        if cfg.GRADUAL_CITY_BLOCK_RESOURCES:
+            frate = inner * jnp.float32(1.0 / cfg.FOOD_CONSUMPTION_TICKS)
+            wrate = inner * jnp.float32(1.0 / cfg.WASTE_PRODUCTION_TICKS)
+            frem = frem + jnp.where(b_mask & b_needs, frate, 0.0)
+            fwhole = jnp.floor(frem)
+            food = jnp.maximum(food - fwhole, 0.0)
+            frem = frem - fwhole
+            wrem = wrem + jnp.where(b_mask & b_prod, wrate, 0.0)
+            wwhole = jnp.floor(wrem)
+            waste = jnp.minimum(waste + wwhole, b_wcap)
+            wrem = wrem - wwhole
+        else:
+            fdue = si32[0, 0, 6] != 0
+            wdue = si32[0, 0, 7] != 0
+            food = jnp.where(b_mask & b_needs & fdue,
+                             jnp.maximum(food - inner, 0.0), food)
+            waste = jnp.where(b_mask & b_prod & wdue,
+                              jnp.minimum(waste + inner, b_wcap), waste)
+
+        # ---- stats row ----------------------------------------------------
+        f32 = lambda x: x.astype(jnp.float32)
+        stats_o[:] = _scalar_plane([
+            (ST_DONE_I, f32(jnp.sum(done_i))),
+            (ST_DONE_T, f32(jnp.sum(done_t_))),
+            (ST_DUR_I, jnp.sum(jnp.where(done_i, dur, 0.0))),
+            (ST_DUR_T, jnp.sum(jnp.where(done_t_, dur, 0.0))),
+            (ST_STEPS_I, jnp.sum(jnp.where(done_i, steps, 0.0))),
+            (ST_STEPS_T, jnp.sum(jnp.where(done_t_, steps, 0.0))),
+            (ST_DONE_SVC, f32(jnp.sum(svc_done))),
+            (ST_DUR_SVC, jnp.sum(jnp.where(svc_done, dur, 0.0))),
+            (ST_STEPS_SVC, jnp.sum(jnp.where(svc_done, steps, 0.0))),
+            (ST_NEW_MAL, f32(n_new_mal)),
+            (ST_NEW_COL, f32(n_new_col)),
+            (ST_KILL_I, f32(n_kill_i)),
+            (ST_KILL_T, f32(n_kill_t)),
+            (ST_DROP_I, f32(drop_i)),
+            (ST_DROP_T, f32(drop_t)),
+        ], stats_o.shape)
 
     # ---- write carries ------------------------------------------------
     pa_o[:] = pa
@@ -1057,17 +1090,44 @@ def run_segment_mega(cfg: Config, world, es, cs: dict, sdir, R: int,
     wrem0 = bplane(bst.waste_rem)
 
     # ---- assemble pallas call ------------------------------------------
-    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Statics and carries get BLOCKED specs with constant index maps:
+    # Mosaic elides the repeated DMA when the block index is unchanged
+    # across grid steps, which is what keeps the 40 MB sdir4 stack (and
+    # every carried plane) VMEM-resident for the whole segment.  A
+    # whole-array (unblocked) spec is re-streamed per step.  Blocked
+    # specs need (8, 128)-divisible trailing dims; fall back to
+    # whole-array for the (tiny) shapes that aren't.
+    def resident(shape):
+        ok = shape[-1] % 128 == 0 and (len(shape) < 2 or shape[-2] % 8 == 0)
+        if ok:
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda t: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
     stream = lambda: pl.BlockSpec((1, H, Wp), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
     srow = lambda: pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    resident_in = [jnp.shape(x) for x in (
+        sdir4, wnd,
+        cs["g_inter"], cs["g_destid"], cs["g_destkind1"], cs["g_nexit"],
+        cs["g_exitcell"],
+        cs["b_mask"], cs["b_ok"], cs["b_bid"], cs["b_svcdest"],
+        cs["b_needs"], cs["b_prod"],
+        cs["b_inner"], cs["b_fcap"], cs["b_wcap"],
+        *mat_list,
+        lstat, gstat,
+        es.pa, es.pb, es.pc, es.pd, es.pe, es.pl, es.stop_map,
+        food0, waste0, frem0, wrem0, li0, lf0, lstop0)]
     in_specs = ([srow(), srow()] + [stream()] * 3
-                + [whole() for _ in range(16 + nmats + 16)])
-    out_specs = tuple([whole() for _ in range(14)]
-                      + [pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
-                                      memory_space=pltpu.VMEM)])
+                + [resident(s) for s in resident_in])
+    out_specs = tuple(
+        [resident(s) for s in (
+            (H, W),) * 11 + ((N_LI, Gp), (N_LF, Gp), (8, Lp))]
+        + [pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)])
     out_shape = (
         (jax.ShapeDtypeStruct((H, W), jnp.uint32),) * 5
         + (jax.ShapeDtypeStruct((H, W), jnp.float32),)

@@ -142,6 +142,31 @@ def init_rl_state(cfg: Config, num_groups: int, key) -> Optional[Any]:
     return None
 
 
+def interleaved_gae(gamma: float, lam: float, r, v, m):
+    """GAE over one FLAT interleaved pseudo-trajectory (the reference's
+    `compute_gae` `rl_a2c.py:183-192` over BUFFER storage order).
+    `m` masks padded group slots: the reference never stores them, so
+    the (gae, next_v) chain passes through masked entries unchanged and
+    their advantage is 0.  Oracle-tested in tests/test_rl.py."""
+    import jax
+    import jax.numpy as jnp
+
+    def scan(carry, x):
+        gae, next_v = carry
+        r_t, v_t, m_t = x
+        delta = r_t + gamma * next_v - v_t
+        g2 = delta + gamma * lam * gae
+        gae = jnp.where(m_t, g2, gae)
+        next_v = jnp.where(m_t, v_t, next_v)
+        return (gae, next_v), jnp.where(m_t, g2, 0.0)
+
+    (_, _), adv = jax.lax.scan(
+        scan, (jnp.float32(0.0), jnp.float32(0.0)),
+        (r.astype(jnp.float32), v.astype(jnp.float32), m.astype(bool)),
+        reverse=True)
+    return adv
+
+
 def _phase_mechanics(cfg: Config, lights, active, action, min_green):
     """Shared rl_timer / rl_phase bookkeeping.  Returns (lights',
     want_apply, phase_req)."""
@@ -257,17 +282,30 @@ def a2c_step(cfg: Config, ts: A2CTrain, grid, gs, lights, occupancy, key):
         t=t + 1)
 
     def update(ts):
-        # per-group GAE along time (`compute_gae` `rl_a2c.py:183-192`)
-        def gae_scan(carry, x):
-            gae, next_v = carry
-            r, v = x
-            delta = r + cfg.A2C_GAMMA * next_v - v
-            gae = delta + cfg.A2C_GAMMA * cfg.A2C_LAMBDA * gae
-            return (gae, v), gae
+        if cfg.A2C_INTERLEAVED_GAE:
+            # exact reference trajectory: GAE over the FLAT interleaved
+            # buffer [t0g0, t0g1, ..., t1g0, ...] (`compute_gae`
+            # `rl_a2c.py:183-192` runs over BUFFER storage order, which
+            # interleaves all groups into one pseudo-trajectory).
+            # Invalid (padded) groups are never stored by the reference,
+            # so the chain passes through them untouched.
+            adv = interleaved_gae(
+                cfg.A2C_GAMMA, cfg.A2C_LAMBDA,
+                ts.roll_r.reshape(-1), ts.roll_v.reshape(-1),
+                ts.roll_m.reshape(-1)).reshape(ts.roll_r.shape)
+        else:
+            # per-group GAE along time — the declared-deviation default
+            # (each group is its own trajectory; PARITY.md)
+            def gae_scan(carry, x):
+                gae, next_v = carry
+                r, v = x
+                delta = r + cfg.A2C_GAMMA * next_v - v
+                gae = delta + cfg.A2C_GAMMA * cfg.A2C_LAMBDA * gae
+                return (gae, v), gae
 
-        (_, _), adv = jax.lax.scan(
-            gae_scan, (jnp.zeros((G,)), jnp.zeros((G,))),
-            (ts.roll_r, ts.roll_v), reverse=True)
+            (_, _), adv = jax.lax.scan(
+                gae_scan, (jnp.zeros((G,)), jnp.zeros((G,))),
+                (ts.roll_r, ts.roll_v), reverse=True)
         ret = adv + ts.roll_v
         m = ts.roll_m.reshape(-1)
         advf = adv.reshape(-1)
