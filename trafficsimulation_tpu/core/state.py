@@ -113,6 +113,11 @@ class DestStatic:
     block: jnp.ndarray   # i32 [D] block id for entrances (-1)
     hw_pos: jnp.ndarray    # i32 [E] highway-entrance flat cells (-1 pad)
     hw_valid: jnp.ndarray  # bool [E]
+    # plane-facing ROUTING id per dest (what vehicles/grid.dest_id
+    # carry): identity under dense routing; the hierarchical
+    # tile*LMAX+l / direct id under cfg.ROUTING_HIER (ops/hier.py).
+    # None == identity (legacy dense worlds).
+    rid: jnp.ndarray = None  # i32 [D] or None
 
 
 @struct.dataclass
@@ -282,6 +287,11 @@ class World:
     key: jnp.ndarray            # PRNG key
     # RL controller train state (None for FSM algorithms)
     rl: object = None
+    # hierarchical routing (cfg.ROUTING_HIER, ops/hier.py): packed
+    # static windowed next-move planes [ceil(9*HIER_LMAX/4), H, W];
+    # None under dense routing.  With ROUTING_HIER, `cost_field` holds
+    # the DENSE rows only (region hubs first, then direct dests).
+    local_sdir4: jnp.ndarray = None
 
     @property
     def occupancy(self) -> jnp.ndarray:

@@ -177,7 +177,8 @@ def _entry_costs(cfg: Config, allowed, is_road, soft2, hard):
 
 def build_sdir(cfg: Config, K0: jnp.ndarray, allowed: jnp.ndarray,
                is_road: jnp.ndarray, soft2: jnp.ndarray,
-               hard: jnp.ndarray) -> jnp.ndarray:
+               hard: jnp.ndarray, force_xla: bool = False,
+               pack: bool = True) -> jnp.ndarray:
     """Per-destination next-move planes, PACKED 4 rows per i32 word
     ([ceil(D/4), H, W], see `pack_sdir4` for the byte layout): bits 0-2
     best move direction (7 = no move), bit 3 = best move is contraflow,
@@ -204,7 +205,7 @@ def build_sdir(cfg: Config, K0: jnp.ndarray, allowed: jnp.ndarray,
     # kernel VMEM budget: one destination block of K0 (4 headings i32)
     # + pen/legal stacks + working planes; beyond ~24 MB per block fall
     # back to the XLA path (1024^2 grids)
-    if cfg.USE_PALLAS_ENGINE and _on_tpu() \
+    if cfg.USE_PALLAS_ENGINE and _on_tpu() and not force_xla and pack \
             and (4 * H * W * 4 + 8 * H * W * 4) < 24 * 1024 * 1024 \
             and D % 4 == 0:
         pen4 = jnp.stack(pen_m)
@@ -244,15 +245,16 @@ def build_sdir(cfg: Config, K0: jnp.ndarray, allowed: jnp.ndarray,
     if D % DB != 0:
         DB = D  # uneven D: single block
     nblk = D // DB
+    fin = pack_sdir4 if pack else (lambda s: s)
     if nblk <= 1:
-        return pack_sdir4(block(K0))
+        return fin(block(K0))
 
     def body(i, out):
         rows = jax.lax.dynamic_slice_in_dim(K0, i * DB, DB, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(
             out, block(rows), i * DB, axis=0)
 
-    return pack_sdir4(jax.lax.fori_loop(
+    return fin(jax.lax.fori_loop(
         0, nblk, body, jnp.zeros((D, H, W), jnp.uint8)))
 
 
@@ -743,8 +745,21 @@ def step_engine(cfg: Config, world, es: EngineState,
     del k_side, k_speed, k_prio  # folded into the one hashed draw
     planes_in = (pa, pb, pc, pd, pe, pl)
     tile = (pallas_engine.pick_tile(cfg, D)
-            if cfg.USE_PALLAS_ENGINE and _on_tpu() else None)
-    if _use_pallas(cfg, D):
+            if cfg.USE_PALLAS_ENGINE and _on_tpu()
+            and not cfg.ROUTING_HIER else None)
+    if cfg.ROUTING_HIER:
+        # hierarchical select: exact windowed byte in the destination's
+        # 3x3 tile window, dense hub/direct row elsewhere (ops/hier.py).
+        from . import hier as hier_mod
+        out = pallas_engine.decide_move_core(
+            cfg, nbr,
+            lambda dest: hier_mod.hier_select(
+                cfg, sdir4, world.local_sdir4, dest,
+                use_pallas=cfg.USE_PALLAS_ENGINE),
+            wnd,
+            *planes_in, stop_map, es.rain_map, ped_bit,
+            grid.intersection, grid.dest_id, *randoms)
+    elif _use_pallas(cfg, D):
         out = pallas_engine.decide_move_pallas(
             cfg, sdir4, wnd, planes_in, stop_map, es.rain_map, ped_bit,
             grid.intersection, grid.dest_id, randoms)
@@ -881,8 +896,11 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
         pd_d = pd.reshape(-1)[dpos]
         pe_d = pe.reshape(-1)[dpos]
         pl_d = pl.reshape(-1)[dpos]
+    # the plane dest field carries ROUTING ids: identity in dense mode,
+    # dests.rid under ROUTING_HIER (ops/hier.py)
+    rid_d = jnp.arange(Dall) if dests.rid is None else dests.rid
     is_here = dests.valid & ((pa_d & 1) == 1) & \
-        (_fld(pa_d, PA_DEST_SH, 14) == jnp.arange(Dall))
+        (_fld(pa_d, PA_DEST_SH, 14) == rid_d)
     kind_d = _fld(pa_d, PA_KIND_SH, 2)
     is_svc = is_here & (kind_d >= KIND_FOOD)
     if "service" in _POST_SKIP:
@@ -915,7 +933,11 @@ def _post_move(cfg: Config, world, es: EngineState, planes, lights,
     finish = servicing & (timer_d <= 0)
     more = jnp.where(kind_d == KIND_FOOD, pl_d > 0,
                      pl_d < cfg.SERVICE_VEHICLE_MAX_LOAD_WASTE)
-    DF = world.cost_field.shape[0]
+    # routable-id ceiling: with ROUTING_HIER every assigned rid routes
+    # (block tables hold rid VALUES there), so only >= 0 matters; dense
+    # mode keeps the field-row cap
+    DF = ((1 << 14) if cfg.ROUTING_HIER
+          else world.cost_field.shape[0])
     svc_target = jnp.where((bs.service_dest >= 0) & (bs.service_dest < DF),
                            bs.service_dest, bs.dest)
     blk_ok = (svc_target >= 0) & (svc_target < DF)

@@ -948,6 +948,14 @@ def mega_ok(cfg: Config, world=None) -> bool:
     from .engine import _on_tpu
     if os.environ.get("TSIM_NO_MEGAKERNEL"):
         return False
+    # OPT-IN only (r5): the kernel is bit-exact under interpret mode but
+    # Mosaic rejects it on real TPU hardware (`arith.trunci` i8->i1 at
+    # 64x64, compile-helper crash at 256x256) — engaging it by default
+    # broke the sweep config on TPU.  Set TSIM_MEGA_FORCE=1 to develop
+    # against it; see NOTES.md round-5 section.
+    if not (os.environ.get("TSIM_MEGA_FORCE")
+            or os.environ.get("TSIM_MEGA_INTERPRET")):
+        return False
     if not cfg.USE_PALLAS_ENGINE:
         return False
     from ..lights.fsm import FSM_ALGOS
@@ -955,8 +963,12 @@ def mega_ok(cfg: Config, world=None) -> bool:
         return False
     if cfg.PEDESTRIANS_ENABLED or cfg.VEHICLE_STUCK_DESPAWN_ENABLED:
         return False
+    if cfg.ROUTING_HIER:
+        return False
     if not (_on_tpu() or os.environ.get("TSIM_MEGA_INTERPRET")):
         return False
+    if os.environ.get("TSIM_MEGA_FORCE"):
+        return True
     H, W = cfg.HEIGHT, cfg.WIDTH
     HW = H * W
     D = cfg.MAX_FIELD_DESTS

@@ -107,7 +107,7 @@ def run_batch(cfg: Config, worlds, n_ticks: int):
 # (conflict priorities, faults, rain).
 SHARED_GEOMETRY_FIELDS = frozenset({
     "grid", "lights_static", "groups_static", "blocks_static", "dests",
-    "cost_field", "nearest_exit"})
+    "cost_field", "nearest_exit", "local_sdir4"})
 _DEMAND_DYNAMIC = frozenset({"cursor"})
 
 

@@ -71,7 +71,8 @@ def init_metrics() -> Metrics:
         day=z)
 
 
-def _nearest_exit_table(cfg: Config, dests, DF: int) -> jnp.ndarray:
+def _nearest_exit_table(cfg: Config, dests, DF: int,
+                        rid: jnp.ndarray = None) -> jnp.ndarray:
     """Static table: nearest valid highway-exit dest id (Manhattan) from
     each destination cell (`_finish_service` `vehicle_service.py:122-137`
     picks the exit from the serviced block's position — which is always a
@@ -83,10 +84,86 @@ def _nearest_exit_table(cfg: Config, dests, DF: int) -> jnp.ndarray:
     man = jnp.abs(px[:, None] - px[None, :]) + \
         jnp.abs(py[:, None] - py[None, :])
     man = jnp.where(exit_ok[None, :], man, 2**30)
-    return jnp.argmin(man, axis=1).astype(jnp.int32)
+    t = jnp.argmin(man, axis=1).astype(jnp.int32)
+    # the table's VALUES are plane-facing routing ids (identity in
+    # dense mode, dests.rid under ROUTING_HIER)
+    return t if rid is None else rid[t]
+
+
+def init_world_hier(cfg: Config, key) -> tuple[Config, World]:
+    """Host-orchestrated world init for cfg.ROUTING_HIER (full
+    routability at flagship scale, ops/hier.py): generate + shrink a
+    base world (tiny throwaway dense field), assign routing ids
+    host-side, then build the dense hub/direct rows and the windowed
+    static stack on device and regenerate demand against the new ids.
+    Returns (shrunk cfg, world) — not jittable as a whole (the id
+    assignment is host numpy); the heavy stages are jitted internally."""
+    import dataclasses
+    import numpy as np
+    from .gen import hier as ghier
+    from .ops.hier import hier_params, RID_SPACE
+
+    assert cfg.ROUTING_HIER
+    hp = hier_params(cfg)
+    cfg_gen = dataclasses.replace(cfg, ROUTING_HIER=False,
+                                  MAX_FIELD_DESTS=4)
+    world = jax.jit(functools.partial(init_world, cfg_gen))(key)
+    cfg2, world = measure_and_shrink(cfg_gen, world)
+
+    grid, bs, dests = world.grid, world.blocks_static, world.dests
+    pos = np.asarray(dests.pos)
+    assign = ghier.assign_hier_np(cfg, pos, np.asarray(dests.valid),
+                                  np.asarray(dests.kind))
+    tabs = ghier.hier_tables_np(cfg, assign, pos, cfg.HEIGHT, cfg.WIDTH)
+    rid = jnp.asarray(assign["rid"], jnp.int32)
+
+    # remap every plane-facing id to rid space
+    D = rid.shape[0]
+    lut = jnp.concatenate([rid, jnp.array([-1], jnp.int32)])
+    remap = lambda a: jnp.where(a >= 0, lut[jnp.clip(a, 0, D)], -1)
+    grid = grid.replace(dest_id=remap(grid.dest_id))
+    bs = bs.replace(dest=remap(bs.dest),
+                    service_dest=remap(bs.service_dest))
+    dests = dests.replace(rid=rid)
+
+    ndense = int(tabs["dense_pos"].shape[0])
+    cfg3 = dataclasses.replace(cfg2, ROUTING_HIER=True,
+                               HIER_TILE=cfg.HIER_TILE,
+                               HIER_LMAX=cfg.HIER_LMAX,
+                               MAX_FIELD_DESTS=ndense)
+    field = jax.jit(functools.partial(ghier.build_dense_keys, cfg3))(
+        grid, tabs["dense_pos"], tabs["dense_valid"])
+    local4 = jax.jit(functools.partial(ghier.build_local_stack, cfg3))(
+        grid, tabs["tile_dest_wpos"], tabs["tile_dest_valid"],
+        tabs["tile_coords"])
+
+    kgen, kday = jax.random.split(key)
+    del kgen
+    layout = trip_layout_cached(cfg3)
+    # regenerate demand against the rid tables (internal trips read
+    # bs.dest, already remapped; through trips need the rid column)
+    dem = jax.jit(functools.partial(
+        demand_mod.generate_days, cfg3, layout,
+        start_day=jnp.int32(0), n_days=cfg.DEMAND_PREGEN_DAYS,
+        current_tick=jnp.int32(-1), n_field_dests=RID_SPACE))(
+        key=kday, blk_valid=bs.valid, blk_btype=bs.btype,
+        blk_dest=bs.dest, blk_entrance=bs.entrance,
+        dest_valid=dests.valid, dest_kind=dests.kind,
+        entrance_pos=dests.hw_pos, entrance_valid=dests.hw_valid,
+        dest_rid=rid)
+
+    world = world.replace(
+        grid=grid, blocks_static=bs, dests=dests, cost_field=field,
+        local_sdir4=local4,
+        nearest_exit=_nearest_exit_table(cfg3, dests, RID_SPACE, rid=rid),
+        demand=dem, metrics=init_metrics())
+    return cfg3, jax.block_until_ready(world)
 
 
 def init_world(cfg: Config, key) -> World:
+    if cfg.ROUTING_HIER:
+        raise ValueError("cfg.ROUTING_HIER worlds are host-orchestrated: "
+                         "use init_world_hier(cfg, key)")
     caps = cfg.capacities()
     H, W = cfg.HEIGHT, cfg.WIDTH
     kgen, kday = jax.random.split(key)
@@ -493,7 +570,8 @@ class TrafficSim:
                 (np.asarray(w.blocks_static.valid)
                  & ((np.asarray(w.blocks_static.dest) < 0)
                     | (np.asarray(w.blocks_static.dest)
-                       >= w.cost_field.shape[0]))).sum()),
+                       >= (1 << 14 if w.local_sdir4 is not None
+                           else w.cost_field.shape[0])))).sum()),
         }
 
     def _live_trip_stats(self) -> dict:
@@ -620,7 +698,7 @@ def assert_world_fits(cfg: Config, world: World) -> None:
     D_field = world.cost_field.shape[-4]
     dv = np.asarray(world.dests.valid)
     n_valid = dv.reshape(-1, dv.shape[-1]).sum(axis=-1)
-    if (n_valid >= D_field).any():
+    if world.local_sdir4 is None and (n_valid >= D_field).any():
         warnings.warn(
             f"MAX_FIELD_DESTS partial coverage: {D_field} field rows, "
             f"world has >= {int(n_valid.max())} valid dests — "
