@@ -25,11 +25,6 @@ import traceback
 
 import jax
 
-# persistent XLA compilation cache: repeated bench/driver runs skip the
-# multi-minute generation-pipeline compile
-os.makedirs("/tmp/tsim_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/tsim_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +60,13 @@ def _backend_watchdog(
 
 
 _backend_watchdog()
+
+# persistent XLA compilation cache: repeated bench/driver runs skip the
+# multi-minute generation-pipeline compile.  Keyed by CPU features so a
+# cache written on one host cannot SIGILL another (utils.xla_cache_dir).
+from trafficsimulation_tpu.utils import xla_cache_dir    # noqa: E402
+jax.config.update("jax_compilation_cache_dir", xla_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from trafficsimulation_tpu.config import Config          # noqa: E402
 from trafficsimulation_tpu.sim import init_world, run_chunk, \

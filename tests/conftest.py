@@ -17,8 +17,8 @@ jax.config.update("jax_platforms", "cpu")
 # persistent XLA compilation cache: the generation-pipeline compile
 # dominates cold suite time (VERDICT r1 weak #3); cache it across runs
 # like bench.py does.
-os.makedirs("/tmp/tsim_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/tsim_jax_cache")
+from trafficsimulation_tpu.utils import xla_cache_dir
+jax.config.update("jax_compilation_cache_dir", xla_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import pytest  # noqa: E402
 

@@ -16,8 +16,10 @@ import time
 
 import jax
 
-os.makedirs("/tmp/tsim_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/tsim_jax_cache")
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from trafficsimulation_tpu.utils import xla_cache_dir
+jax.config.update("jax_compilation_cache_dir", xla_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp

@@ -26,8 +26,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-os.makedirs("/tmp/tsim_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/tsim_jax_cache")
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from trafficsimulation_tpu.utils import xla_cache_dir
+jax.config.update("jax_compilation_cache_dir", xla_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
