@@ -363,9 +363,15 @@ def make_app(bridge: BridgeState):
             pos = np.asarray(w.dests.pos)
             kind = np.asarray(w.dests.kind)
             block = np.asarray(w.dests.block)
+            # ids handed to the UI are plane-facing routing ids
+            # (identity dense, dests.rid under ROUTING_HIER — where
+            # every valid dest is routable)
+            rid = (np.asarray(w.dests.rid) if w.dests.rid is not None
+                   else np.arange(valid.shape[0]))
+            hier = w.dests.rid is not None
             dests = []
             for i in np.nonzero(valid)[0]:
-                if i >= DF:
+                if not hier and i >= DF:
                     continue
                 p = int(pos[i])
                 if kind[i] == 1:
@@ -373,7 +379,8 @@ def make_app(bridge: BridgeState):
                 else:
                     label = f"Block {int(block[i])} entrance " \
                             f"({p % Wd}, {p // Wd})"
-                dests.append({"id": int(i), "flat": p, "label": label})
+                dests.append({"id": int(rid[i]), "flat": p,
+                              "label": label})
             entrances = []
             hw = np.asarray(w.dests.hw_pos)
             hv = np.asarray(w.dests.hw_valid)

@@ -76,7 +76,9 @@ def _fld(p, sh, bits):
 
 
 def _bit(p, sh):
-    return ((p >> sh) & 1).astype(bool)
+    # cmpi, not astype(bool): Mosaic rejects sub-32-bit trunci (i8->i1)
+    # and the callers pass i8 rows too
+    return ((p >> sh) & 1) != 0
 
 
 # ---------------------------------------------------------------------------

@@ -409,13 +409,14 @@ class TrafficSim:
         today = int((off + float(w.elapsed)) // 86400)
         key, kd = jax.random.split(w.key)
         layout = trip_layout_cached(self.cfg)
-        DF = w.cost_field.shape[0]
+        DF = ((1 << 14) if w.dests.rid is not None
+              else w.cost_field.shape[0])
         new = demand_mod.generate_days(
             self.cfg, layout, kd, today, self.cfg.DEMAND_PREGEN_DAYS,
             w.tick, w.blocks_static.valid, w.blocks_static.btype,
             w.blocks_static.dest, w.blocks_static.entrance,
             w.dests.valid, w.dests.kind, w.dests.hw_pos, w.dests.hw_valid,
-            DF)
+            DF, dest_rid=w.dests.rid)
         self.world = w.replace(demand=new, key=key)
 
     # -- reference-parity query API (`city_model.py:1980-2149`) ------------
@@ -445,7 +446,8 @@ class TrafficSim:
         sb = -1
         if kind >= 2:  # service vehicle: target the neediest block
             bs, bst = w.blocks_static, w.blocks
-            DF = w.cost_field.shape[0]
+            DF = ((1 << 14) if w.dests.rid is not None
+                  else w.cost_field.shape[0])
             sd = np.asarray(bs.service_dest)
             ed = np.asarray(bs.dest)
             tgt = np.where((sd >= 0) & (sd < DF), sd, ed)

@@ -35,6 +35,20 @@ def xla_cache_dir(base: str = "/tmp/tsim_jax_cache") -> str:
         f"{platform.machine()}|{feats}".encode()).hexdigest()[:12]
     path = os.path.join(base, key)
     os.makedirs(path, exist_ok=True)
+    # one-time migration of the legacy flat layout: adopt loose cache
+    # files into THIS machine's keyed dir.  A different machine (other
+    # key) will never see them again, which is the protection this
+    # scheme adds; the adopted files carry the same (pre-existing) risk
+    # they always did for one cache generation.
+    try:
+        for name in os.listdir(base):
+            src = os.path.join(base, name)
+            if os.path.isfile(src):
+                dst = os.path.join(path, name)
+                if not os.path.exists(dst):
+                    os.rename(src, dst)
+    except OSError:
+        pass
     return path
 
 
