@@ -352,7 +352,9 @@ def main():
     for name, fn, need in (("config1_gen_lights", bench_config1, 240),
                            ("config3_pedestrians", bench_config3, 300),
                            ("config4_world_batch", bench_config4, 480),
-                           ("config5_1024_100k", bench_config5, 420)):
+                           # hier init adds the windowed-field build +
+                           # chunked dense rows: needs real headroom
+                           ("config5_1024_100k", bench_config5, 900)):
         if _left() < need:
             configs[name] = {"skipped": "time budget"}
             continue

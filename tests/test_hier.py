@@ -33,28 +33,9 @@ def hier_world():
     return init_world_hier(CFG, jax.random.PRNGKey(3))
 
 
-def test_rid_assignment(hier_world):
-    cfg, w = hier_world
-    hp = hier_params(cfg)
-    rid = np.asarray(w.dests.rid)
-    valid = np.asarray(w.dests.valid)
-    assert (rid[valid] >= 0).all()
-    assert (rid[~valid] == -1).all()
-    r = rid[valid]
-    assert len(np.unique(r)) == len(r), "routing ids must be unique"
-    assert r.max() < (1 << 14) - 1
-    # exits are direct rows; entrances/service cells tiled (or overflow)
-    kind = np.asarray(w.dests.kind)
-    assert (rid[valid & (kind == 1)] >= hp.direct_base).all()
-    # the dest plane carries rids at exactly the valid dest cells
-    plane = np.asarray(w.grid.dest_id).reshape(-1)
-    pos = np.asarray(w.dests.pos)[valid]
-    assert (np.sort(plane[plane >= 0]) == np.sort(r)).all()
-    assert (plane[pos] == rid[valid]).all()
-
-
-def test_hier_rows_arithmetic(hier_world):
-    cfg, _ = hier_world
+def test_hier_rows_arithmetic_nofixture():
+    """Fast tier: the routing-id arithmetic alone (no world build)."""
+    cfg = CFG
     hp = hier_params(cfg)
     H, W = cfg.HEIGHT, cfg.WIDTH
     rng = np.random.default_rng(0)
@@ -76,6 +57,28 @@ def test_hier_rows_arithmetic(hier_world):
     np.testing.assert_array_equal(np.asarray(r), r_ref)
 
 
+@pytest.mark.slow
+def test_rid_assignment(hier_world):
+    cfg, w = hier_world
+    hp = hier_params(cfg)
+    rid = np.asarray(w.dests.rid)
+    valid = np.asarray(w.dests.valid)
+    assert (rid[valid] >= 0).all()
+    assert (rid[~valid] == -1).all()
+    r = rid[valid]
+    assert len(np.unique(r)) == len(r), "routing ids must be unique"
+    assert r.max() < (1 << 14) - 1
+    # exits are direct rows; entrances/service cells tiled (or overflow)
+    kind = np.asarray(w.dests.kind)
+    assert (rid[valid & (kind == 1)] >= hp.direct_base).all()
+    # the dest plane carries rids at exactly the valid dest cells
+    plane = np.asarray(w.grid.dest_id).reshape(-1)
+    pos = np.asarray(w.dests.pos)[valid]
+    assert (np.sort(plane[plane >= 0]) == np.sort(r)).all()
+    assert (plane[pos] == rid[valid]).all()
+
+
+@pytest.mark.slow
 def test_windowed_bytes_match_dense_static(hier_world):
     """At 128^2 / TILE=64 every window covers the whole grid: the local
     byte read through hier_select's plane arithmetic must equal the
@@ -117,6 +120,7 @@ def test_windowed_bytes_match_dense_static(hier_world):
             "bytes differ from the dense static field")
 
 
+@pytest.mark.slow
 def test_hier_world_runs_and_completes(hier_world):
     cfg, w = hier_world
     # all blocks routable: the headline capability

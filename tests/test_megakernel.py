@@ -18,6 +18,11 @@ from trafficsimulation_tpu.sim import init_world, run_chunk, \
 
 import bench
 
+# interpret-mode Mosaic runs are minutes-per-config on one CPU core;
+# the kernel is also gated OFF in production (NOTES round-5: it does
+# not compile on real TPU hardware yet) — slow tier only
+pytestmark = pytest.mark.slow
+
 
 CFG = dict(WIDTH=64, HEIGHT=64, WALL_THICKNESS=6, SIDEWALK_RING_WIDTH=2,
            MAX_FIELD_DESTS=32, MAX_VEHICLES=256,

@@ -125,13 +125,32 @@ def assign_hier_np(cfg: Config, pos, valid, kind):
 
 
 def build_dense_keys(cfg: Config, grid, dense_pos: jnp.ndarray,
-                     dense_valid: jnp.ndarray) -> jnp.ndarray:
+                     dense_valid: jnp.ndarray,
+                     rows_per_chunk: int = 16) -> jnp.ndarray:
     """Dense dynamic rows (hubs first, then direct dests): the same
-    pre-encoded key stack as the dense path (`engine.field_to_keys`)."""
-    F = routing.compute_cost_fields(cfg, grid.allowed_dirs,
-                                    grid.road_class, dense_pos,
-                                    dense_valid, is_road=grid.is_road)
-    return engine.field_to_keys(cfg, F, grid.road_class)
+    pre-encoded key stack as the dense path (`engine.field_to_keys`).
+
+    Chunked over rows: the value-iteration while_loop holds ~4 live
+    copies of its [D, 4, H, W] f32 carry, which at 1024^2 with the
+    ~270 hier dense rows is ~17 GB — past HBM.  16-row chunks keep the
+    transient under ~1.1 GB while total work is unchanged (iterations
+    are per-chunk convergence-bounded)."""
+    D = dense_pos.shape[0]
+    nb = max(1, -(-D // rows_per_chunk))
+    pad = nb * rows_per_chunk - D
+    dpos = jnp.concatenate([dense_pos, jnp.zeros((pad,), jnp.int32)])
+    dval = jnp.concatenate([dense_valid, jnp.zeros((pad,), bool)])
+
+    def one(args):
+        pos, val = args
+        F = routing.compute_cost_fields(cfg, grid.allowed_dirs,
+                                        grid.road_class, pos, val,
+                                        is_road=grid.is_road)
+        return engine.field_to_keys(cfg, F, grid.road_class)
+
+    K = jax.lax.map(one, (dpos.reshape(nb, rows_per_chunk),
+                          dval.reshape(nb, rows_per_chunk)))
+    return K.reshape(nb * rows_per_chunk, 4, *grid.allowed_dirs.shape)[:D]
 
 
 def build_local_stack(cfg: Config, grid, tile_dest_wpos: jnp.ndarray,
