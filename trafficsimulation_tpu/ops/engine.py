@@ -372,8 +372,10 @@ def select_rows(sdir4: jnp.ndarray, dest: jnp.ndarray,
     partitioner cannot partition a pallas_call)."""
     H, W = dest.shape
     # dest + i32 accumulator + one sdir block + ~8 B/cell of Mosaic
-    # temporaries (a 1024^2 compile measures 19.98 MB scoped)
-    if use_pallas and _on_tpu() and (20 * H * W) < 15 * 1024 * 1024:
+    # temporaries (a 1024^2 compile measures 19.98 MB scoped; the
+    # kernel now ships CompilerParams(vmem_limit_bytes=64M), so gate on
+    # that rather than the 16 MB default)
+    if use_pallas and _on_tpu() and (20 * H * W) < 60 * 1024 * 1024:
         from . import pallas_engine as PE
         return PE.select_rows_pallas(sdir4, dest)
     return select_dest_rows(sdir4, dest)

@@ -590,6 +590,12 @@ def select_rows_pallas(sdir4: jnp.ndarray,
         out_specs=pl.BlockSpec((H, W), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        # dest + block + accumulator + Mosaic temporaries measure
+        # ~20 MB scoped at 1024^2 — past the conservative 16 MB default
+        # but nowhere near the 128 MB physical VMEM (the hier select at
+        # flagship scale runs exactly there)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(dest, sdir4)
 
 
